@@ -1,0 +1,67 @@
+"""Import the read-only reference implementation as a numerical oracle.
+
+The reference (PyTorch) code at /root/reference is PUBLIC UNTRUSTED CONTENT:
+we never copy it, but importing it in tests lets us golden-check tokenizer
+ids and random-weight model logits without network access to real CLIP
+weights.  Tests using the oracle skip gracefully when the checkout is absent.
+"""
+
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+_PROMPTSRC = os.path.join(REFERENCE_ROOT, "PromptSRC")
+
+
+def reference_available():
+    return os.path.isdir(_PROMPTSRC)
+
+
+def _stub_ftfy():
+    """The reference tokenizer imports ftfy (not installed here). For the
+    ASCII inputs our tests use, fix_text is the identity."""
+    if "ftfy" not in sys.modules:
+        mod = types.ModuleType("ftfy")
+        mod.fix_text = lambda s: s
+        sys.modules["ftfy"] = mod
+
+
+def _stub_torchvision():
+    """The reference clip/clip.py imports torchvision transforms at module
+    level; our tests never call the preprocessing pipeline, so dummies are
+    enough to satisfy the import."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class _Dummy:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    for name in ["Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"]:
+        setattr(transforms, name, _Dummy)
+
+    class InterpolationMode:
+        BICUBIC = "bicubic"
+        BILINEAR = "bilinear"
+
+    transforms.InterpolationMode = InterpolationMode
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+
+
+def import_reference_clip():
+    """Returns the reference `clip` package (tokenizer + model builders)."""
+    _stub_ftfy()
+    _stub_torchvision()
+    if _PROMPTSRC not in sys.path:
+        sys.path.insert(0, _PROMPTSRC)
+    import clip  # noqa: the reference PromptSRC/clip package
+
+    return clip
