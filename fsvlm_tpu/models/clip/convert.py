@@ -1,0 +1,347 @@
+"""OpenAI CLIP checkpoint -> JAX pytree conversion, plus random init.
+
+The torch layout being mapped is documented in the reference
+(PromptSRC/clip/model.py:488-561 module tree; clip/clip.py:86-182 loader).
+Every tensor in the source state dict is mapped or explicitly skipped;
+conversion fails loudly on unknown keys so weight porting stays total.
+"""
+
+import re
+
+import numpy as np
+
+from .config import CLIPConfig, config_from_state_dict_shapes
+
+# trainer-owned parameters that may appear in modified checkpoints; they are
+# extracted by the method trainers, not by the tower converter
+_SKIP_PATTERNS = [
+    r".*VPT.*",
+    r"^prompt_learner\..*",
+    r".*lora.*",
+    r"^input_resolution$",
+    r"^context_length$",
+    r"^vocab_size$",
+]
+
+
+def _to_numpy(t):
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (cpu) — avoid importing torch at module scope
+    return t.detach().cpu().numpy()
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": _to_numpy(sd[prefix + ".weight"]).astype(np.float32),
+        "bias": _to_numpy(sd[prefix + ".bias"]).astype(np.float32),
+    }
+
+
+def _stack_blocks(sd, prefix, n_layers):
+    """Stack per-layer transformer params along a leading layer axis.
+
+    torch Linear stores (out, in); we store (in, out) so forward is x @ w.
+    """
+    def get(i, name):
+        return _to_numpy(sd[f"{prefix}.resblocks.{i}.{name}"]).astype(np.float32)
+
+    blocks = {
+        "ln_1": {
+            "scale": np.stack([get(i, "ln_1.weight") for i in range(n_layers)]),
+            "bias": np.stack([get(i, "ln_1.bias") for i in range(n_layers)]),
+        },
+        "attn": {
+            "w_qkv": np.stack([get(i, "attn.in_proj_weight").T for i in range(n_layers)]),
+            "b_qkv": np.stack([get(i, "attn.in_proj_bias") for i in range(n_layers)]),
+            "w_out": np.stack([get(i, "attn.out_proj.weight").T for i in range(n_layers)]),
+            "b_out": np.stack([get(i, "attn.out_proj.bias") for i in range(n_layers)]),
+        },
+        "ln_2": {
+            "scale": np.stack([get(i, "ln_2.weight") for i in range(n_layers)]),
+            "bias": np.stack([get(i, "ln_2.bias") for i in range(n_layers)]),
+        },
+        "mlp": {
+            "w_fc": np.stack([get(i, "mlp.c_fc.weight").T for i in range(n_layers)]),
+            "b_fc": np.stack([get(i, "mlp.c_fc.bias") for i in range(n_layers)]),
+            "w_proj": np.stack([get(i, "mlp.c_proj.weight").T for i in range(n_layers)]),
+            "b_proj": np.stack([get(i, "mlp.c_proj.bias") for i in range(n_layers)]),
+        },
+    }
+    return blocks
+
+
+def _convert_vit_visual(sd, cfg):
+    # torch conv weight (width, 3, P, P) -> HWIO (P, P, 3, width)
+    conv = _to_numpy(sd["visual.conv1.weight"]).astype(np.float32)
+    return {
+        "patch_embed": conv.transpose(2, 3, 1, 0),
+        "class_embedding": _to_numpy(sd["visual.class_embedding"]).astype(np.float32),
+        "positional_embedding": _to_numpy(sd["visual.positional_embedding"]).astype(np.float32),
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision_layers),
+        "ln_post": _ln(sd, "visual.ln_post"),
+        "proj": _to_numpy(sd["visual.proj"]).astype(np.float32),
+    }
+
+
+def _conv(sd, prefix):
+    # torch conv weight (out, in, kh, kw) -> HWIO (kh, kw, in, out)
+    return _to_numpy(sd[prefix + ".weight"]).astype(np.float32).transpose(2, 3, 1, 0)
+
+
+def _bn(sd, prefix):
+    return {
+        "scale": _to_numpy(sd[prefix + ".weight"]).astype(np.float32),
+        "bias": _to_numpy(sd[prefix + ".bias"]).astype(np.float32),
+        "mean": _to_numpy(sd[prefix + ".running_mean"]).astype(np.float32),
+        "var": _to_numpy(sd[prefix + ".running_var"]).astype(np.float32),
+    }
+
+
+def _linear(sd, prefix):
+    return {
+        "w": _to_numpy(sd[prefix + ".weight"]).astype(np.float32).T,
+        "b": _to_numpy(sd[prefix + ".bias"]).astype(np.float32),
+    }
+
+
+def _convert_resnet_visual(sd, cfg):
+    visual = {
+        "stem": {
+            "conv1": _conv(sd, "visual.conv1"),
+            "bn1": _bn(sd, "visual.bn1"),
+            "conv2": _conv(sd, "visual.conv2"),
+            "bn2": _bn(sd, "visual.bn2"),
+            "conv3": _conv(sd, "visual.conv3"),
+            "bn3": _bn(sd, "visual.bn3"),
+        },
+        "layers": [],
+        "attnpool": {
+            "positional_embedding": _to_numpy(
+                sd["visual.attnpool.positional_embedding"]
+            ).astype(np.float32),
+            "q_proj": _linear(sd, "visual.attnpool.q_proj"),
+            "k_proj": _linear(sd, "visual.attnpool.k_proj"),
+            "v_proj": _linear(sd, "visual.attnpool.v_proj"),
+            "c_proj": _linear(sd, "visual.attnpool.c_proj"),
+        },
+    }
+    for li, n_blocks in enumerate(cfg.vision_layers, start=1):
+        stage = []
+        for b in range(n_blocks):
+            p = f"visual.layer{li}.{b}"
+            block = {
+                "conv1": _conv(sd, p + ".conv1"),
+                "bn1": _bn(sd, p + ".bn1"),
+                "conv2": _conv(sd, p + ".conv2"),
+                "bn2": _bn(sd, p + ".bn2"),
+                "conv3": _conv(sd, p + ".conv3"),
+                "bn3": _bn(sd, p + ".bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv": _conv(sd, p + ".downsample.0"),
+                    "bn": _bn(sd, p + ".downsample.1"),
+                }
+            stage.append(block)
+        visual["layers"].append(stage)
+    return visual
+
+
+def clip_params_from_state_dict(sd, cfg=None):
+    """Convert a torch CLIP state dict to (params pytree, CLIPConfig)."""
+    sd = {k: v for k, v in sd.items()}
+    if cfg is None:
+        cfg = config_from_state_dict_shapes(sd)
+
+    visual = (
+        _convert_vit_visual(sd, cfg) if cfg.is_vit else _convert_resnet_visual(sd, cfg)
+    )
+    params = {
+        "visual": visual,
+        "text": {
+            "token_embedding": _to_numpy(sd["token_embedding.weight"]).astype(np.float32),
+            "positional_embedding": _to_numpy(sd["positional_embedding"]).astype(np.float32),
+            "blocks": _stack_blocks(sd, "transformer", cfg.transformer_layers),
+            "ln_final": _ln(sd, "ln_final"),
+            "text_projection": _to_numpy(sd["text_projection"]).astype(np.float32),
+        },
+        "logit_scale": _to_numpy(sd["logit_scale"]).astype(np.float32).reshape(()),
+    }
+
+    # verify totality: everything else must match a sanctioned skip pattern
+    consumed = _consumed_keys(cfg)
+    leftovers = [
+        k
+        for k in sd
+        if k not in consumed and not any(re.match(p, k) for p in _SKIP_PATTERNS)
+    ]
+    if leftovers:
+        raise ValueError(f"Unmapped checkpoint keys: {leftovers[:10]} ...")
+    return params, cfg
+
+
+def _consumed_keys(cfg):
+    keys = {
+        "token_embedding.weight",
+        "positional_embedding",
+        "ln_final.weight",
+        "ln_final.bias",
+        "text_projection",
+        "logit_scale",
+    }
+    for i in range(cfg.transformer_layers):
+        for name in _BLOCK_KEYS:
+            keys.add(f"transformer.resblocks.{i}.{name}")
+    if cfg.is_vit:
+        keys |= {
+            "visual.conv1.weight",
+            "visual.class_embedding",
+            "visual.positional_embedding",
+            "visual.ln_pre.weight",
+            "visual.ln_pre.bias",
+            "visual.ln_post.weight",
+            "visual.ln_post.bias",
+            "visual.proj",
+        }
+        for i in range(cfg.vision_layers):
+            for name in _BLOCK_KEYS:
+                keys.add(f"visual.transformer.resblocks.{i}.{name}")
+    else:
+        for stem in ["conv1", "conv2", "conv3"]:
+            keys.add(f"visual.{stem}.weight")
+        for bn in ["bn1", "bn2", "bn3"]:
+            for part in _BN_KEYS:
+                keys.add(f"visual.{bn}.{part}")
+        for li, n_blocks in enumerate(cfg.vision_layers, start=1):
+            for b in range(n_blocks):
+                p = f"visual.layer{li}.{b}"
+                for c in ["conv1", "conv2", "conv3"]:
+                    keys.add(f"{p}.{c}.weight")
+                for bn in ["bn1", "bn2", "bn3"]:
+                    for part in _BN_KEYS:
+                        keys.add(f"{p}.{bn}.{part}")
+                keys.add(f"{p}.downsample.0.weight")
+                for part in _BN_KEYS:
+                    keys.add(f"{p}.downsample.1.{part}")
+        for proj in ["q_proj", "k_proj", "v_proj", "c_proj"]:
+            keys.add(f"visual.attnpool.{proj}.weight")
+            keys.add(f"visual.attnpool.{proj}.bias")
+        keys.add("visual.attnpool.positional_embedding")
+    return keys
+
+
+_BLOCK_KEYS = [
+    "ln_1.weight",
+    "ln_1.bias",
+    "attn.in_proj_weight",
+    "attn.in_proj_bias",
+    "attn.out_proj.weight",
+    "attn.out_proj.bias",
+    "ln_2.weight",
+    "ln_2.bias",
+    "mlp.c_fc.weight",
+    "mlp.c_fc.bias",
+    "mlp.c_proj.weight",
+    "mlp.c_proj.bias",
+]
+
+_BN_KEYS = ["weight", "bias", "running_mean", "running_var", "num_batches_tracked"]
+
+
+def load_openai_checkpoint(path):
+    """Load an OpenAI CLIP release file (TorchScript archive or state dict)
+    and return (params, cfg).  Parity: clip/clip.py:86-135 + trainers'
+    load_clip_to_cpu (trainers/coop.py:165-183)."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    return clip_params_from_state_dict(sd)
+
+
+# --------------------------------------------------------------------------
+# random initialization (tests, benchmarks, dry-runs; no network access)
+# --------------------------------------------------------------------------
+
+def random_clip_params(cfg: CLIPConfig, seed=0):
+    """Random CLIP weights with the reference's init distributions
+    (CLIP.initialize_parameters, clip/model.py:567-591). ViT only for now;
+    ModifiedResNet towers use kaiming-style fan-in scaling."""
+    rng = np.random.RandomState(seed)
+
+    def normal(shape, std):
+        return rng.normal(0.0, std, size=shape).astype(np.float32)
+
+    def make_blocks(n_layers, width):
+        proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
+        attn_std = width ** -0.5
+        fc_std = (2 * width) ** -0.5
+        return {
+            "ln_1": {
+                "scale": np.ones((n_layers, width), np.float32),
+                "bias": np.zeros((n_layers, width), np.float32),
+            },
+            "attn": {
+                "w_qkv": normal((n_layers, width, 3 * width), attn_std),
+                "b_qkv": np.zeros((n_layers, 3 * width), np.float32),
+                "w_out": normal((n_layers, width, width), proj_std),
+                "b_out": np.zeros((n_layers, width), np.float32),
+            },
+            "ln_2": {
+                "scale": np.ones((n_layers, width), np.float32),
+                "bias": np.zeros((n_layers, width), np.float32),
+            },
+            "mlp": {
+                "w_fc": normal((n_layers, width, 4 * width), fc_std),
+                "b_fc": np.zeros((n_layers, 4 * width), np.float32),
+                "w_proj": normal((n_layers, 4 * width, width), proj_std),
+                "b_proj": np.zeros((n_layers, width), np.float32),
+            },
+        }
+
+    if not cfg.is_vit:
+        raise NotImplementedError(
+            "random init for ModifiedResNet towers: convert a torch checkpoint instead"
+        )
+
+    W = cfg.vision_width
+    scale = W ** -0.5
+    params = {
+        "visual": {
+            "patch_embed": normal(
+                (cfg.vision_patch_size, cfg.vision_patch_size, 3, W),
+                (3 * cfg.vision_patch_size ** 2) ** -0.5,
+            ),
+            "class_embedding": (scale * rng.randn(W)).astype(np.float32),
+            "positional_embedding": (
+                scale * rng.randn(cfg.vision_seq_len, W)
+            ).astype(np.float32),
+            "ln_pre": {"scale": np.ones(W, np.float32), "bias": np.zeros(W, np.float32)},
+            "blocks": make_blocks(cfg.vision_layers, W),
+            "ln_post": {"scale": np.ones(W, np.float32), "bias": np.zeros(W, np.float32)},
+            "proj": (scale * rng.randn(W, cfg.embed_dim)).astype(np.float32),
+        },
+        "text": {
+            "token_embedding": normal((cfg.vocab_size, cfg.transformer_width), 0.02),
+            "positional_embedding": normal(
+                (cfg.context_length, cfg.transformer_width), 0.01
+            ),
+            "blocks": make_blocks(cfg.transformer_layers, cfg.transformer_width),
+            "ln_final": {
+                "scale": np.ones(cfg.transformer_width, np.float32),
+                "bias": np.zeros(cfg.transformer_width, np.float32),
+            },
+            "text_projection": normal(
+                (cfg.transformer_width, cfg.embed_dim), cfg.transformer_width ** -0.5
+            ),
+        },
+        "logit_scale": np.float32(np.log(1 / 0.07)),
+    }
+    return params

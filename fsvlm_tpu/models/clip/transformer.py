@@ -1,0 +1,125 @@
+"""Scan-based residual attention transformer with functional prompt splicing.
+
+One implementation covers every prompt-design in the reference, which instead
+subclasses blocks per method (ResidualAttentionBlock / _IVLP / _MaPLe,
+PromptSRC/clip/model.py:167-331):
+
+- CoOp / CoCoOp: no per-layer prompts (``deep_prompts=None``).
+- IVLP / VPT / PromptSRC: per-layer learnable tokens replace the previous
+  layer's prompt tokens at layers 1..depth-1 (model.py:229-256).
+- MaPLe: identical splice mechanics, prompts supplied externally
+  (projected from the text prompts, model.py:287-331).
+
+Splicing semantics (parity with the reference):
+- text: tokens [1 : 1+n_ctx) are replaced (SOT stays at 0).
+- vision: the trailing n_ctx tokens are replaced.
+Layer 0 never splices — its prompts were injected at the embedding level.
+
+Blocks are stacked along a leading layer axis and driven by ``lax.scan``:
+one trace, one compile, no per-layer Python unrolling.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import mha
+from ...ops.layers import layer_norm, linear, quick_gelu
+
+
+def _splice_text(x, prompt, n_ctx):
+    """Replace x[:, 1:1+n_ctx] with prompt (n_ctx, D)."""
+    p = jnp.broadcast_to(prompt.astype(x.dtype), (x.shape[0], n_ctx, x.shape[-1]))
+    return jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
+
+
+def _splice_vision(x, prompt, n_ctx):
+    """Replace the trailing n_ctx tokens with prompt (n_ctx, D)."""
+    p = jnp.broadcast_to(prompt.astype(x.dtype), (x.shape[0], n_ctx, x.shape[-1]))
+    return jnp.concatenate([x[:, : x.shape[1] - n_ctx], p], axis=1)
+
+
+def _block(params, x, n_heads, mask, lora_slice):
+    h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"])
+    x = x + mha(
+        h,
+        params["attn"]["w_qkv"],
+        params["attn"]["b_qkv"],
+        params["attn"]["w_out"],
+        params["attn"]["b_out"],
+        n_heads,
+        mask=mask,
+        lora_delta=lora_slice,
+    )
+    h = layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"])
+    h = linear(h, params["mlp"]["w_fc"], params["mlp"]["b_fc"])
+    h = quick_gelu(h)
+    h = linear(h, params["mlp"]["w_proj"], params["mlp"]["b_proj"])
+    return x + h
+
+
+def transformer(
+    blocks,
+    x,
+    *,
+    n_heads,
+    mask=None,
+    deep_prompts=None,
+    splice_flags=None,
+    splice_kind="text",
+    lora=None,
+    remat=False,
+):
+    """Run the stacked transformer.
+
+    Args:
+      blocks: pytree of per-layer params stacked on a leading ``n_layers``
+        axis: {ln_1, attn{w_qkv,b_qkv,w_out,b_out}, ln_2, mlp{w_fc,b_fc,
+        w_proj,b_proj}}.
+      x: (B, L, D) activations (token-major batch layout; the reference's
+        LND permutes are an artifact of nn.MultiheadAttention and not
+        replicated).
+      mask: optional (L, L) additive attention mask.
+      deep_prompts: optional (n_layers, n_ctx, D): row i is spliced before
+        layer i wherever ``splice_flags[i]``. Row 0 is ignored by convention
+        (flag must be False).
+      splice_flags: (n_layers,) bool.
+      splice_kind: "text" | "vision".
+      lora: optional dict of stacked low-rank factors
+        {proj: (A (n_layers, D, r), B (n_layers, r, D))} plus
+        {"scale": float, "mask": (n_layers,) float} gating which layers
+        carry LoRA (reference: INDEX_POSITIONS_*, trainers/lora.py:25-58).
+      remat: rematerialize each block (jax.checkpoint) to trade FLOPs for
+        HBM when differentiating through the towers (LoRA mode).
+    """
+    n_ctx = 0 if deep_prompts is None else deep_prompts.shape[1]
+    splice = _splice_text if splice_kind == "text" else _splice_vision
+
+    def body(carry, layer_inputs):
+        params, prompt, flag, lora_slice = layer_inputs
+        h = carry
+        if n_ctx > 0:
+            h = jnp.where(flag, splice(h, prompt, n_ctx), h)
+        h = _block(params, h, n_heads, mask, lora_slice)
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    n_layers = blocks["ln_1"]["scale"].shape[0]
+    if deep_prompts is None:
+        deep_prompts = jnp.zeros((n_layers, 0, x.shape[-1]), dtype=x.dtype)
+        splice_flags = jnp.zeros((n_layers,), dtype=bool)
+
+    lora_xs = None
+    if lora is not None:
+        # per-layer gate: scale pre-multiplied by the 0/1 layer-position mask
+        lora_xs = {
+            name: (a, b, lora["scale"] * lora["mask"])
+            for name, (a, b) in lora["proj"].items()
+        }
+
+    xs = (blocks, deep_prompts, splice_flags, lora_xs)
+    x, _ = jax.lax.scan(body, x, xs)
+    return x

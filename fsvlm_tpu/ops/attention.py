@@ -1,0 +1,89 @@
+"""Multi-head attention.
+
+Replaces the reference's nn.MultiheadAttention (PromptSRC/clip/model.py:
+171,196,264 and the pure-python SDPA at PromptSRC/utils/layers.py:388-413)
+with a functional JAX implementation: one fused QKV projection feeding the
+MXU, fp32 softmax, additive mask semantics identical to torch.
+
+Sequence lengths in this framework are small and static (77 text tokens,
+197+n_vpt vision tokens), so the XLA lowering — two batched matmuls around a
+fused softmax — is already near the HBM roofline; a Pallas flash-attention
+kernel for long sequences lives in fsvlm_tpu.ops.flash_attention and is
+selected automatically above a sequence-length threshold.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
+    """Batched multi-head self-attention.
+
+    Args:
+      x: (B, L, D) activations.
+      w_qkv: (D, 3D) fused in-projection (q|k|v along the output axis,
+        matching torch's in_proj_weight layout transposed).
+      b_qkv: (3D,)
+      w_out: (D, D) out-projection.
+      b_out: (D,)
+      n_heads: number of heads; head_dim = D // n_heads.
+      mask: optional (L, L) additive mask (``-inf`` above the diagonal for
+        causal text attention, parity with clip/model.py:592-598).
+      lora_delta: optional dict with per-projection low-rank updates
+        {"q"|"k"|"v"|"o": (A (D,r), B (r,D))} applied as x @ A @ B * scale —
+        used by the LoRA trainer without materializing merged weights.
+    Returns:
+      (B, L, D)
+    """
+    B, L, D = x.shape
+    head_dim = D // n_heads
+
+    qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)  # (B, L, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    if lora_delta is not None:
+        for name, arr in zip(("q", "k", "v"), (q, k, v)):
+            if name in lora_delta:
+                a, b_, scale = lora_delta[name]
+                delta = (x @ a.astype(x.dtype)) @ b_.astype(x.dtype) * scale
+                if name == "q":
+                    q = q + delta
+                elif name == "k":
+                    k = k + delta
+                else:
+                    v = v + delta
+
+    def split_heads(t):
+        return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+    scale = head_dim ** -0.5
+    # fp32 logits+softmax for numerical parity with torch's fp32 path
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    ctx = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+    out = ctx @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
+    if lora_delta is not None and "o" in lora_delta:
+        # o-LoRA takes the attention context (pre-out-proj) as input, matching
+        # the reference's separately wrapped proj Linear
+        # (PromptSRC/utils/layers.py:416-608).
+        a, b_, scale_o = lora_delta["o"]
+        out = out + (ctx @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o
+    return out
+
+
+def causal_mask(length, dtype=jnp.float32):
+    """Additive causal mask: -inf strictly above the diagonal
+    (parity: CLIP.build_attention_mask, clip/model.py:592-598)."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=dtype)
+    return jnp.triu(mask, k=1)
