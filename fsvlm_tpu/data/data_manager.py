@@ -1,0 +1,119 @@
+"""DataManager: dataset + loaders wiring (parity: dassl data_manager.py:55-199).
+
+Builds the dataset plugin from DATASET_REGISTRY, the train/test transforms,
+and the four loaders (train_x, train_u, val, test), and prints the dataset
+summary table.  The fork's lab2cname_all passthrough (data_manager.py:67-71)
+is exposed for FGVCAircraft's full-class-name list.
+"""
+
+from ..utils.registry import Registry
+from .base_dataset import DatasetBase
+from .loader import BatchLoader, DatasetWrapper
+from .samplers import build_sampler
+from .transforms import build_transform
+
+DATASET_REGISTRY = Registry("DATASET")
+
+
+def build_dataset(cfg):
+    return DATASET_REGISTRY.get(cfg.DATASET.NAME)(cfg)
+
+
+class DataManager:
+    def __init__(self, cfg, custom_tfm_train=None, custom_tfm_test=None,
+                 dataset_wrapper=None):
+        self.cfg = cfg
+        dataset = build_dataset(cfg)
+        self.dataset = dataset
+
+        tfm_train = custom_tfm_train or build_transform(cfg, is_train=True)
+        tfm_test = custom_tfm_test or build_transform(cfg, is_train=False)
+        self.tfm_train, self.tfm_test = tfm_train, tfm_test
+        wrapper_cls = dataset_wrapper or DatasetWrapper
+
+        def make_loader(data_source, sampler_type, batch_size, n_ins, is_train, tfm):
+            if not data_source:
+                return None
+            sampler = build_sampler(
+                sampler_type, data_source, batch_size=batch_size, n_ins=n_ins,
+                seed=cfg.SEED if cfg.SEED >= 0 else None,
+            )
+            wrapper = wrapper_cls(
+                data_source,
+                tfm,
+                cache_transformed=not is_train,
+                k_transforms=cfg.DATALOADER.K_TRANSFORMS if is_train else 1,
+                return_img0=cfg.DATALOADER.RETURN_IMG0 and is_train,
+                img0_transform=tfm_test,
+            )
+            return BatchLoader(
+                wrapper,
+                sampler,
+                batch_size=batch_size,
+                drop_last=is_train and len(data_source) >= batch_size,
+                num_threads=max(1, cfg.DATALOADER.NUM_WORKERS),
+            )
+
+        self.train_loader_x = make_loader(
+            dataset.train_x,
+            cfg.DATALOADER.TRAIN_X.SAMPLER,
+            cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            cfg.DATALOADER.TRAIN_X.N_INS,
+            True,
+            tfm_train,
+        )
+        train_u_cfg = cfg.DATALOADER.TRAIN_U
+        sampler_u = train_u_cfg.SAMPLER
+        bs_u, nins_u = train_u_cfg.BATCH_SIZE, train_u_cfg.N_INS
+        if train_u_cfg.SAME_AS_X:
+            sampler_u = cfg.DATALOADER.TRAIN_X.SAMPLER
+            bs_u = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+            nins_u = cfg.DATALOADER.TRAIN_X.N_INS
+        self.train_loader_u = make_loader(
+            dataset.train_u, sampler_u, bs_u, nins_u, True, tfm_train
+        )
+        self.val_loader = make_loader(
+            dataset.val,
+            cfg.DATALOADER.TEST.SAMPLER,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
+            0,
+            False,
+            tfm_test,
+        )
+        self.test_loader = make_loader(
+            dataset.test,
+            cfg.DATALOADER.TEST.SAMPLER,
+            cfg.DATALOADER.TEST.BATCH_SIZE,
+            0,
+            False,
+            tfm_test,
+        )
+
+        self._num_classes = dataset.num_classes
+        self._lab2cname = dataset.lab2cname
+        # fork extension: full (unsubsampled) class-name map when the plugin
+        # provides one (FGVCAircraft.lab2cname_full)
+        self._lab2cname_all = getattr(dataset, "lab2cname_full", None)
+
+        if cfg.VERBOSE:
+            self.show_dataset_summary(cfg)
+
+    num_classes = property(lambda self: self._num_classes)
+    lab2cname = property(lambda self: self._lab2cname)
+    lab2cname_all = property(lambda self: self._lab2cname_all)
+
+    def show_dataset_summary(self, cfg):
+        rows = [
+            ("Dataset", cfg.DATASET.NAME),
+            ("# classes", f"{self.num_classes:,}"),
+            ("# train_x", f"{len(self.dataset.train_x):,}"),
+        ]
+        if self.dataset.train_u:
+            rows.append(("# train_u", f"{len(self.dataset.train_u):,}"))
+        if self.dataset.val:
+            rows.append(("# val", f"{len(self.dataset.val):,}"))
+        rows.append(("# test", f"{len(self.dataset.test):,}"))
+        width = max(len(k) for k, _ in rows) + 2
+        print("***** Dataset statistics *****")
+        for k, v in rows:
+            print(f"  {k:<{width}} {v}")

@@ -1,0 +1,162 @@
+"""Host-side batch pipeline.
+
+Replaces torch DataLoader + worker processes (dassl/data/data_manager.py:
+13-52, 202-275) with a thread-pool decode + prefetch design suited to JAX:
+
+- Decoded images are cached in host RAM after first touch (few-shot train
+  sets are tiny; eval sets cache their *transformed* tensors since the eval
+  transform is deterministic) — after epoch 1 the pipeline is pure memory
+  traffic, no JPEG decode on the hot path.
+- Batches are fixed-shape: the trailing partial batch is padded and carries
+  a ``valid`` mask, keeping every jitted step shape-stable (one compile).
+- A background thread prefetches the next batch while the device computes.
+
+Batch dict: {"img": (B,H,W,3) float32, "label": (B,) int32, "domain": (B,)
+int32, "index": (B,) int32, "valid": (B,) bool} — the dict-batch contract of
+the reference's DatasetWrapper (data_manager.py:237-263).
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..utils import read_image
+
+# in-memory image store for synthetic datasets (impath = "synthetic://<key>")
+_SYNTHETIC_STORE = {}
+
+
+def register_synthetic_image(key, array):
+    _SYNTHETIC_STORE[f"synthetic://{key}"] = array
+
+
+def _decode(impath):
+    if impath.startswith("synthetic://"):
+        return _SYNTHETIC_STORE[impath]
+    img = read_image(impath)  # PIL RGB
+    return img
+
+
+class DatasetWrapper:
+    """Applies a transform to Datum items, with RAM caching."""
+
+    def __init__(self, data_source, transform, cache_decoded=True,
+                 cache_transformed=False, k_transforms=1, return_img0=False,
+                 img0_transform=None, max_cache_items=60000):
+        self.data_source = data_source
+        self.transform = transform
+        self.k_transforms = k_transforms
+        self.return_img0 = return_img0
+        self.img0_transform = img0_transform
+        self._decoded_cache = {} if (cache_decoded and len(data_source) <= max_cache_items) else None
+        self._transformed_cache = (
+            {} if (cache_transformed and len(data_source) <= max_cache_items) else None
+        )
+
+    def __len__(self):
+        return len(self.data_source)
+
+    def _get_image(self, idx):
+        item = self.data_source[idx]
+        if self._decoded_cache is not None and idx in self._decoded_cache:
+            return self._decoded_cache[idx]
+        img = _decode(item.impath)
+        if self._decoded_cache is not None:
+            self._decoded_cache[idx] = img
+        return img
+
+    def __getitem__(self, idx):
+        item = self.data_source[idx]
+        if self._transformed_cache is not None and idx in self._transformed_cache:
+            x = self._transformed_cache[idx]
+        else:
+            img = self._get_image(idx)
+            if self.k_transforms > 1:
+                x = np.stack([self.transform(img) for _ in range(self.k_transforms)])
+            else:
+                x = self.transform(img)
+            if self._transformed_cache is not None:
+                self._transformed_cache[idx] = x
+        out = {
+            "img": x,
+            "label": item.label,
+            "domain": item.domain,
+            "index": idx,
+            "impath": item.impath,
+        }
+        if self.return_img0:
+            img = self._get_image(idx)
+            out["img0"] = (
+                self.img0_transform(img) if self.img0_transform is not None else np.asarray(img, np.float32) / 255.0
+            )
+        return out
+
+
+class BatchLoader:
+    """Iterable over fixed-shape numpy batches with background prefetch."""
+
+    def __init__(self, wrapper, sampler, batch_size, drop_last=False,
+                 num_threads=8, prefetch=2, extra_keys=()):
+        assert len(wrapper) > 0
+        self.wrapper = wrapper
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.extra_keys = extra_keys
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _collate(self, idxs):
+        items = list(self._pool.map(self.wrapper.__getitem__, idxs))
+        n_valid = len(items)
+        B = self.batch_size
+        if n_valid < B:
+            items = items + [items[-1]] * (B - n_valid)
+        batch = {
+            "img": np.stack([it["img"] for it in items]).astype(np.float32),
+            "label": np.asarray([it["label"] for it in items], np.int32),
+            "domain": np.asarray([it["domain"] for it in items], np.int32),
+            "index": np.asarray([it["index"] for it in items], np.int32),
+            "valid": np.arange(B) < n_valid,
+        }
+        if "img0" in items[0]:
+            batch["img0"] = np.stack([it["img0"] for it in items]).astype(np.float32)
+        for k in self.extra_keys:
+            batch[k] = np.stack([it[k] for it in items])
+        return batch
+
+    def _index_batches(self):
+        idxs = list(iter(self.sampler))
+        for start in range(0, len(idxs), self.batch_size):
+            chunk = idxs[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for chunk in self._index_batches():
+                    q.put(self._collate(chunk))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is SENTINEL:
+                break
+            yield batch

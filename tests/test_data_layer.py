@@ -1,0 +1,121 @@
+"""Data layer semantics tests: few-shot sampling, base/new subsample,
+class-balanced sampler, fixed-shape batches."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from fsvlm_tpu.config import get_cfg_default
+from fsvlm_tpu.data import (
+    DataManager,
+    Datum,
+    generate_fewshot,
+    generate_per_class_fewshot,
+    subsample_classes,
+)
+from fsvlm_tpu.data.samplers import WeightedClassSampler, build_sampler
+
+
+def make_items(counts):
+    items = []
+    for label, n in enumerate(counts):
+        for j in range(n):
+            items.append(
+                Datum(impath=f"synthetic://x-{label}-{j}", label=label, classname=f"c{label}")
+            )
+    return items
+
+
+def test_uniform_fewshot():
+    import random
+
+    items = make_items([10, 10, 3])
+    out = generate_fewshot(items, 5, random.Random(0))
+    counts = collections.Counter(it.label for it in out)
+    assert counts[0] == 5 and counts[1] == 5
+    assert counts[2] == 3  # fewer available than shots -> keep all
+
+
+def test_per_class_fewshot():
+    import random
+
+    items = make_items([16, 16, 16, 16])
+    out = generate_per_class_fewshot(items, [16, 8, 2, 1], random.Random(0))
+    counts = collections.Counter(it.label for it in out)
+    assert [counts[i] for i in range(4)] == [16, 8, 2, 1]
+    # deterministic under the same seed
+    out2 = generate_per_class_fewshot(items, [16, 8, 2, 1], random.Random(0))
+    assert [it.impath for it in out] == [it.impath for it in out2]
+
+
+def test_subsample_base_new():
+    items = make_items([4] * 7)  # 7 classes -> base: 0..3, new: 4..6
+    (base,) = subsample_classes(items, subsample="base")
+    (new,) = subsample_classes(items, subsample="new")
+    assert sorted({it.label for it in base}) == [0, 1, 2, 3]
+    assert sorted({it.label for it in new}) == [0, 1, 2]  # relabeled
+    assert sorted({it.classname for it in new}) == ["c4", "c5", "c6"]
+    assert len(base) == 16 and len(new) == 12
+
+
+def test_weighted_class_sampler_balances():
+    items = make_items([160, 16, 4])
+    sampler = WeightedClassSampler(items, seed=0, num_samples=18000)
+    labels = np.asarray([items[i].label for i in iter(sampler)])
+    freqs = np.bincount(labels) / len(labels)
+    # inverse-frequency sampling should equalize class frequency
+    assert np.all(np.abs(freqs - 1 / 3) < 0.02), freqs
+
+
+def test_datamanager_synthetic_batches():
+    cfg = get_cfg_default()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.SEED = 1
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ["random_resized_crop", "random_flip", "normalize"]
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+    cfg.DATALOADER.TEST.BATCH_SIZE = 10
+    cfg.VERBOSE = False
+    dm = DataManager(cfg)
+    assert dm.num_classes == 8
+    batch = next(iter(dm.train_loader_x))
+    assert batch["img"].shape == (8, 32, 32, 3)
+    assert batch["img"].dtype == np.float32
+    assert batch["valid"].all()
+
+    # test loader pads the ragged last batch and masks it
+    batches = list(iter(dm.test_loader))
+    total_valid = sum(b["valid"].sum() for b in batches)
+    assert total_valid == len(dm.dataset.test) == 32
+    for b in batches:
+        assert b["img"].shape[0] == 10
+
+
+def test_per_class_shots_via_cfg():
+    cfg = get_cfg_default()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = -1
+    cfg.DATASET.PER_CLASS_SHOTS = [16, 16, 16, 16, 1, 1, 1, 1]
+    cfg.SEED = 0
+    cfg.VERBOSE = False
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ["normalize"]
+    dm = DataManager(cfg)
+    counts = collections.Counter(it.label for it in dm.dataset.train_x)
+    assert [counts[i] for i in range(8)] == [16, 16, 16, 16, 1, 1, 1, 1]
+
+
+def test_base_to_new_protocol_on_synthetic():
+    cfg = get_cfg_default()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = 2
+    cfg.DATASET.SUBSAMPLE_CLASSES = "new"
+    cfg.SEED = 0
+    cfg.VERBOSE = False
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ["normalize"]
+    dm = DataManager(cfg)
+    assert dm.num_classes == 4
+    assert all(it.classname.endswith(("4", "5", "6", "7")) for it in dm.dataset.test)
