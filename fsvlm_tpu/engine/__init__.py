@@ -1,0 +1,4 @@
+from .checkpoint import load_checkpoint, resume_from_checkpoint, save_checkpoint
+from .evaluator import EVALUATOR_REGISTRY, Classification, build_evaluator, compute_accuracy
+from .optim import build_optimizer, make_lr_schedule
+from .trainer import TRAINER_REGISTRY, SimpleTrainer, TrainerX, build_trainer

@@ -1,0 +1,120 @@
+"""Optimizers and LR schedules (parity: dassl/optim/).
+
+The reference steps torch schedulers once per epoch (trainer.update_lr after
+run_epoch); here the schedule is a pure function of the optax step count,
+with steps_per_epoch baked in so per-step optax updates realize the same
+per-epoch lr staircase:
+
+- cosine: lr * (1 + cos(pi * epoch / MAX_EPOCH)) / 2   (CosineAnnealingLR)
+- single_step / multi_step: lr * GAMMA ** (#milestones passed)
+- warmup (epoch < WARMUP_EPOCH): constant WARMUP_CONS_LR or linear ramp
+  lr * epoch / WARMUP_EPOCH (min WARMUP_MIN_LR at epoch 0)
+  (dassl/optim/lr_scheduler.py:10-152)
+"""
+
+import math
+
+import jax.numpy as jnp
+import optax
+
+AVAI_OPTIMS = ["adam", "amsgrad", "sgd", "rmsprop", "radam", "adamw"]
+AVAI_SCHEDS = ["single_step", "multi_step", "cosine", "constant"]
+
+
+def make_lr_schedule(cfg, steps_per_epoch):
+    """Returns lr(step) implementing dassl's per-epoch schedule."""
+    base_lr = cfg.OPTIM.LR
+    max_epoch = cfg.OPTIM.MAX_EPOCH
+    sched = cfg.OPTIM.LR_SCHEDULER
+    warmup_epoch = cfg.OPTIM.WARMUP_EPOCH
+    warmup_type = cfg.OPTIM.WARMUP_TYPE
+    warmup_cons = cfg.OPTIM.WARMUP_CONS_LR
+    warmup_min = cfg.OPTIM.WARMUP_MIN_LR
+    gamma = cfg.OPTIM.GAMMA
+    stepsize = cfg.OPTIM.STEPSIZE
+
+    if sched not in AVAI_SCHEDS:
+        raise ValueError(f"Unknown LR_SCHEDULER: {sched} (choices {AVAI_SCHEDS})")
+
+    def lr_at_epoch(epoch):
+        if warmup_epoch > 0 and epoch < warmup_epoch:
+            if warmup_type == "constant":
+                return warmup_cons
+            if warmup_type == "linear":
+                if epoch == 0:
+                    return warmup_min
+                return base_lr * epoch / warmup_epoch
+            raise ValueError(f"Unknown WARMUP_TYPE: {warmup_type}")
+        if sched == "cosine":
+            return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max_epoch))
+        if sched == "single_step":
+            ss = stepsize[0] if isinstance(stepsize, (tuple, list)) else stepsize
+            if ss <= 0:
+                ss = max_epoch
+            return base_lr * gamma ** (epoch // ss)
+        if sched == "multi_step":
+            passed = sum(1 for m in stepsize if epoch >= m)
+            return base_lr * gamma ** passed
+        return base_lr
+
+    # precompute the per-epoch staircase as a jnp table: lr(step) is a gather,
+    # keeping the schedule jit-friendly with zero host sync
+    table = jnp.asarray(
+        [lr_at_epoch(e) for e in range(max_epoch + 1)], dtype=jnp.float32
+    )
+
+    def schedule(count):
+        epoch = jnp.minimum(count // max(steps_per_epoch, 1), max_epoch)
+        return table[epoch]
+
+    schedule.lr_at_epoch = lr_at_epoch  # host-side introspection for logging
+    return schedule
+
+
+def build_optimizer(cfg, steps_per_epoch, param_labels=None, lr_mult=None):
+    """optax transform matching dassl build_optimizer (optimizer.py:13-142).
+
+    Weight decay follows torch semantics (decay added to the gradient before
+    momentum).  staged-lr (NEW_LAYERS/BASE_LR_MULT) is realized with
+    optax.multi_transform when param_labels/lr_mult are given.
+    """
+    name = cfg.OPTIM.NAME
+    if name not in AVAI_OPTIMS:
+        raise ValueError(f"Unknown OPTIM.NAME: {name} (choices {AVAI_OPTIMS})")
+
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    wd = cfg.OPTIM.WEIGHT_DECAY
+    momentum = cfg.OPTIM.MOMENTUM
+    b1, b2 = cfg.OPTIM.ADAM_BETA1, cfg.OPTIM.ADAM_BETA2
+
+    def core(scale=1.0):
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        if name == "sgd":
+            parts.append(
+                optax.trace(decay=momentum, nesterov=cfg.OPTIM.SGD_NESTEROV)
+            )
+        elif name in ("adam", "amsgrad"):
+            parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+        elif name == "adamw":
+            parts.append(optax.scale_by_adam(b1=b1, b2=b2))
+        elif name == "rmsprop":
+            parts.append(
+                optax.scale_by_rms(decay=cfg.OPTIM.RMSPROP_ALPHA, initial_scale=0.0)
+            )
+            if momentum:
+                parts.append(optax.trace(decay=momentum))
+        elif name == "radam":
+            parts.append(optax.scale_by_radam(b1=b1, b2=b2))
+        parts.append(optax.scale_by_learning_rate(lambda c: scale * schedule(c)))
+        return optax.chain(*parts)
+
+    if param_labels is not None and lr_mult is not None:
+        tx = optax.multi_transform(
+            {"base": core(scale=lr_mult), "new": core(1.0)}, param_labels
+        )
+    else:
+        tx = core()
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=8)
+    return tx, schedule

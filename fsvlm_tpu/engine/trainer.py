@@ -1,0 +1,335 @@
+"""Trainer engine.
+
+Capability parity with dassl/engine/trainer.py (TrainerBase/SimpleTrainer/
+TrainerX, :77-650) re-designed around a functional JAX core:
+
+- a method trainer contributes pure functions — ``loss_fn(params, frozen,
+  batch, rng) -> (loss, metrics)`` and ``logits_fn(params, frozen, images)``
+  — plus the trainable ``params`` pytree and a device-resident ``frozen``
+  pytree (CLIP towers, token embeddings, precomputed teacher features).
+- the engine jits ONE SPMD train step over a 1-D data mesh (params
+  replicated, batch sharded; XLA inserts the gradient psums over ICI) and
+  one eval step; the same compiled step serves every epoch.
+- frozen towers never enter the grad computation: backprop touches only the
+  prompt pytree, which is the main TPU win vs the reference's
+  requires_grad_(False) bookkeeping (SURVEY.md §7.1).
+
+Lifecycle, checkpoint layout, meters/ETA printing, best-val selection, and
+log formats mirror the reference so downstream tooling (parse_test_res)
+works unchanged.
+"""
+
+import copy
+import datetime
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import DataManager
+from ..parallel.mesh import data_sharded, get_mesh, replicate, shard_batch
+from ..utils import AverageMeter, MetricMeter, mkdir_if_missing
+from ..utils.registry import Registry
+from .checkpoint import load_checkpoint, resume_from_checkpoint, save_checkpoint
+from .evaluator import build_evaluator
+from .optim import build_optimizer
+from .tb import TensorboardWriter
+
+TRAINER_REGISTRY = Registry("TRAINER")
+
+
+def build_trainer(cfg):
+    return TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)
+
+
+class SimpleTrainer:
+    """Generic epoch-driven trainer around a functional method core."""
+
+    def __init__(self, cfg):
+        self.check_cfg(cfg)
+        self.cfg = cfg
+        self.start_epoch = self.epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.output_dir = cfg.OUTPUT_DIR
+        self.best_result = -np.inf
+
+        self.mesh = get_mesh()
+        self.rng_key = jax.random.PRNGKey(max(cfg.SEED, 0))
+
+        self.build_data_loader()
+        # method contract: must set self.params, self.frozen, self.loss_fn,
+        # self.logits_fn, self.model_name
+        self.build_model()
+        self.evaluator = build_evaluator(cfg, lab2cname=self.lab2cname)
+
+        self._build_optimizer()
+        self._compile_steps()
+        self._writer = None
+
+    # ------------------------------------------------------------------ setup
+    def check_cfg(self, cfg):
+        pass
+
+    def build_data_loader(self):
+        dm = DataManager(self.cfg)
+        self.dm = dm
+        self.train_loader_x = dm.train_loader_x
+        self.train_loader_u = dm.train_loader_u
+        self.val_loader = dm.val_loader
+        self.test_loader = dm.test_loader
+        self.num_classes = dm.num_classes
+        self.lab2cname = dm.lab2cname
+
+    def build_model(self):
+        raise NotImplementedError
+
+    def _build_optimizer(self):
+        steps_per_epoch = len(self.train_loader_x) if self.train_loader_x else 1
+        self.steps_per_epoch = steps_per_epoch
+        self.tx, self.lr_schedule = build_optimizer(self.cfg, steps_per_epoch)
+        self.opt_state = self.tx.init(self.params)
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        print(f"# params to be updated: {n_params:,}")
+
+    # ------------------------------------------------------------- jit steps
+    def _compile_steps(self):
+        self.params = replicate(self.params, self.mesh)
+        self.frozen = replicate(self.frozen, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+
+        loss_fn = self.loss_fn
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, frozen, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, frozen, batch, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return params, opt_state, metrics
+
+        logits_fn = self.logits_fn
+
+        @jax.jit
+        def eval_step(params, frozen, images):
+            return logits_fn(params, frozen, images)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------ train
+    def train(self, start_epoch=None, max_epoch=None):
+        self.start_epoch = start_epoch if start_epoch is not None else self.start_epoch
+        self.max_epoch = max_epoch if max_epoch is not None else self.max_epoch
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        return self.after_train()
+
+    def before_train(self):
+        if self.cfg.RESUME:
+            self.resume_model_if_exist(self.cfg.RESUME)
+        else:
+            self.resume_model_if_exist(self.output_dir)
+        mkdir_if_missing(self.output_dir)
+        self._writer = TensorboardWriter(os.path.join(self.output_dir, "tensorboard"))
+        self.time_start = time.time()
+
+    def before_epoch(self):
+        pass
+
+    def run_epoch(self):
+        losses = MetricMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        num_batches = len(self.train_loader_x)
+        pending = []  # (batch_idx, device metrics) fetched at print frequency
+
+        end = time.time()
+        for batch_idx, batch in enumerate(self.train_loader_x):
+            data_time.update(time.time() - end)
+            self.batch_idx = batch_idx
+            metrics = self.forward_backward(batch)
+            pending.append((batch_idx, metrics))
+            batch_time.update(time.time() - end)
+
+            meet_freq = (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0
+            if meet_freq or batch_idx + 1 == num_batches:
+                # fetch the on-device metric scalars only now (one sync)
+                for bi, m in pending:
+                    host = {k: float(v) for k, v in m.items()}
+                    if not np.isfinite(host["loss"]):
+                        raise FloatingPointError(f"Loss is infinite or NaN: {host}")
+                    losses.update(host)
+                    n_iter = self.epoch * num_batches + bi
+                    for name, meter in losses.meters.items():
+                        self._writer.scalar(f"train/{name}", meter.avg, n_iter)
+                    self._writer.scalar(f"train/lr", self.get_current_lr(), n_iter)
+                pending.clear()
+
+                nb_remain = (num_batches - batch_idx - 1) + (
+                    self.max_epoch - self.epoch - 1
+                ) * num_batches
+                eta = str(datetime.timedelta(seconds=int(batch_time.avg * nb_remain)))
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}]"
+                    f"[{batch_idx + 1}/{num_batches}]\t"
+                    f"time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                    f"data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                    f"{losses}\t"
+                    f"lr {self.get_current_lr():.4e}\t"
+                    f"eta {eta}"
+                )
+            end = time.time()
+
+    def forward_backward(self, batch):
+        device_batch = self.parse_batch_train(batch)
+        self.rng_key, step_key = jax.random.split(self.rng_key)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, self.frozen, device_batch, step_key
+        )
+        return metrics
+
+    def parse_batch_train(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def after_epoch(self):
+        last_epoch = (self.epoch + 1) == self.max_epoch
+        do_test = not self.cfg.TEST.NO_TEST
+        meet_freq = (
+            (self.epoch + 1) % self.cfg.TRAIN.CHECKPOINT_FREQ == 0
+            if self.cfg.TRAIN.CHECKPOINT_FREQ > 0
+            else False
+        )
+
+        if do_test and self.cfg.TEST.FINAL_MODEL == "best_val" and self.val_loader:
+            curr_result = self.test(split="val")
+            is_best = curr_result > self.best_result
+            if is_best:
+                self.best_result = curr_result
+                self.save_model(self.epoch, self.output_dir, val_result=curr_result,
+                                model_name="model-best.pkl")
+        if meet_freq or last_epoch:
+            self.save_model(self.epoch, self.output_dir)
+
+    def after_train(self):
+        print("Finish training")
+        result = None
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            result = self.test()
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+        if self._writer is not None:
+            self._writer.close()
+        return result
+
+    # ------------------------------------------------------------------- test
+    def model_inference(self, images):
+        return self._eval_step(self.params, self.frozen, images)
+
+    def parse_batch_test(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def test(self, split=None, return_pred=False):
+        self.evaluator.reset()
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            data_loader = self.val_loader
+        else:
+            split = "test"
+            data_loader = self.test_loader
+        print(f"Evaluate on the *{split}* set")
+
+        for batch in data_loader:
+            valid = batch["valid"]
+            device_batch = self.parse_batch_test(batch)
+            logits = np.asarray(self.model_inference(device_batch["img"]))
+            self.evaluator.process(logits[valid], batch["label"][valid])
+
+        results = self.evaluator.evaluate()
+        for k, v in results.items():
+            self._writer and self._writer.scalar(f"{split}/{k}", v, self.epoch)
+        if return_pred:
+            return self.evaluator.y_true, self.evaluator.y_pred
+        return list(results.values())[0]
+
+    # ------------------------------------------------------------ checkpoints
+    def get_model_names(self):
+        return [self.model_name]
+
+    def save_model(self, epoch, directory, val_result=None, model_name=""):
+        save_checkpoint(
+            {
+                "state_dict": self.params,
+                "epoch": epoch + 1,
+                "optimizer": self.opt_state,
+                "val_result": val_result,
+            },
+            os.path.join(directory, self.model_name),
+            model_name=model_name,
+        )
+
+    def resume_model_if_exist(self, directory):
+        ckpt = resume_from_checkpoint(os.path.join(directory, self.model_name))
+        if ckpt is None:
+            return 0
+        self.params = replicate(self._coerce_params(ckpt["state_dict"]), self.mesh)
+        if ckpt.get("optimizer") is not None:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                jax.tree.leaves(ckpt["optimizer"]),
+            )
+            self.opt_state = replicate(opt_state, self.mesh)
+        self.start_epoch = ckpt["epoch"]
+        print(f"Resumed from epoch {self.start_epoch}")
+        return self.start_epoch
+
+    def _coerce_params(self, loaded):
+        """Align a loaded state dict with the live params structure, dropping
+        stale leaves (the reference deletes token_prefix/suffix on load so
+        base-trained prompts apply to new class sets — here class-dependent
+        buffers live in ``frozen`` and never enter checkpoints, coop.py:
+        488-510 equivalent)."""
+        live_flat = jax.tree.structure(self.params)
+        return jax.tree.unflatten(live_flat, jax.tree.leaves(loaded))
+
+    def load_model(self, directory, epoch=None):
+        if not directory:
+            print("Skip load_model (no pretrained path given)")
+            return
+        name = "model-best.pkl" if epoch is None else f"model.pkl-{epoch}"
+        path = os.path.join(directory, self.model_name, name)
+        if not os.path.exists(path) and epoch is None:
+            # fall back to the pointer file
+            ckpt = resume_from_checkpoint(os.path.join(directory, self.model_name))
+        else:
+            ckpt = load_checkpoint(path)
+        if ckpt is None:
+            raise FileNotFoundError(f"No checkpoint under {directory}")
+        print(
+            f'Load model from "{directory}" (epoch {ckpt["epoch"]}, '
+            f'val_result {ckpt.get("val_result")})'
+        )
+        self.params = replicate(self._coerce_params(ckpt["state_dict"]), self.mesh)
+
+    # ------------------------------------------------------------------ misc
+    def get_current_lr(self):
+        return float(self.lr_schedule.lr_at_epoch(min(self.epoch, self.max_epoch)))
+
+
+# Back-compat alias: the reference distinguishes TrainerX (labeled-only);
+# every CLIP-path trainer is labeled-only here.
+TrainerX = SimpleTrainer

@@ -1,0 +1,49 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference's only parallelism is single-process nn.DataParallel
+(SURVEY.md §2.4, §5.8).  The TPU-native equivalent: one jitted SPMD train
+step over a 1-D ``data`` mesh — parameters replicated (prompt pytrees are
+tiny), batches sharded on axis 0, gradients reduced by XLA-inserted psums
+riding ICI.  The same code runs on 1 chip (trivial mesh) and a v5e-8 slice;
+multi-host falls out of jax.distributed.initialize + per-host data feeding.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(devices=None):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh):
+    """Place a host numpy batch dict onto the mesh, sharded along axis 0.
+
+    Batch sizes produced by BatchLoader are fixed per loader; callers must
+    pick batch sizes divisible by the mesh size (asserted here).
+    """
+    n = mesh.devices.size
+    sharding = data_sharded(mesh)
+
+    def put(x):
+        assert x.shape[0] % n == 0, (
+            f"batch axis {x.shape[0]} not divisible by mesh size {n}"
+        )
+        return jax.device_put(x, sharding)
+
+    return {k: put(v) for k, v in batch.items() if k != "impath"}
+
+
+def replicate(tree, mesh):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,1 @@
+from .coop import CoOp  # noqa: F401 (registration side effects)
