@@ -29,6 +29,7 @@ def build_prompt_context(
     csc=False,
     rng=None,
     context_length=77,
+    init_keep_n_ctx=False,
 ):
     """Returns a dict of frozen prompt-assembly tensors + the ctx init value.
 
@@ -43,7 +44,11 @@ def build_prompt_context(
 
     if ctx_init:
         ctx_init = ctx_init.replace("_", " ")
-        n_ctx = len(ctx_init.split(" "))
+        if not init_keep_n_ctx:
+            # CoOp semantics: n_ctx follows the init phrase (coop.py:220-228)
+            n_ctx = len(ctx_init.split(" "))
+        # VLPromptLearner semantics keep cfg's n_ctx and slice the phrase
+        # embedding (promptsrc.py:90-98)
         init_ids = tokenize(ctx_init)[0]
         init_ctx = token_embedding[init_ids[1 : 1 + n_ctx]].copy()
         prompt_prefix = ctx_init
