@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark: PromptSRC training-step throughput (images/sec/chip).
+
+Baseline (BASELINE.md): the reference trains PromptSRC ViT-B/16 on ImageNet
+at ≈15 images/s on one A100 (derived from docs/TRAIN.md:8-9, bs 4).  This
+bench times the full PromptSRC train step — both towers forward with deep
+prompts, frozen-teacher image pass, CE + 3 SCL losses, backward through the
+prompt pytree, SGD update — on ViT-B/16-shaped towers with 224x224 inputs
+and the production batch size for one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
+
+
+def main():
+    import jax
+
+    # persistent compile cache: axon remote-compile is slow (~minutes for the
+    # full two-tower program); repeat bench runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from fsvlm_tpu.models.clip import ARCHS
+    from fsvlm_tpu.models.clip.convert import random_clip_params
+    from fsvlm_tpu.trainers.ivlp_family import vlp_image_features, vlp_text_features
+    from fsvlm_tpu.trainers.losses import cross_entropy, l1_loss
+    from fsvlm_tpu.trainers.prompts import build_prompt_context
+    from fsvlm_tpu.models.clip import l2_normalize
+
+    clip_cfg = ARCHS["ViT-B/16"]
+    params = random_clip_params(clip_cfg, seed=0)
+    classnames = [f"class {i}" for i in range(N_CLASSES)]
+    pc = build_prompt_context(
+        params, classnames, n_ctx=4, ctx_init="a photo of a", init_keep_n_ctx=True
+    )
+    rng = np.random.RandomState(0)
+
+    frozen = {
+        "clip": jax.tree.map(jnp.asarray, params),
+        "base_embed": jnp.asarray(pc["base_embed"]),
+        "ctx_scatter": jnp.asarray(pc["ctx_scatter"]),
+        "eot_idx": jnp.asarray(pc["eot_idx"]),
+    }
+    learnable = {
+        "ctx": jnp.asarray(pc["init_ctx"]),
+        "text_deep": jnp.asarray(rng.normal(0, 0.02, (8, 4, 512)).astype(np.float32)),
+        "vpt_shallow": jnp.asarray(rng.normal(0, 0.02, (4, 768)).astype(np.float32)),
+        "vision_deep": jnp.asarray(rng.normal(0, 0.02, (8, 4, 768)).astype(np.float32)),
+    }
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    # frozen zero-shot teacher text features
+    from fsvlm_tpu.models.clip import encode_text_ids
+    from fsvlm_tpu.models.clip.tokenizer import tokenize
+
+    ids = tokenize([f"a photo of a {c}." for c in classnames])
+    frozen["zs_text"] = l2_normalize(
+        encode_text_ids(frozen["clip"], clip_cfg, ids, compute_dtype=dtype)
+    )
+
+    tx = optax.sgd(0.0025, momentum=0.9)
+    opt_state = tx.init(learnable)
+
+    def loss_fn(learnable, frozen, images, labels):
+        scale = jnp.exp(frozen["clip"]["logit_scale"])
+        txf = l2_normalize(vlp_text_features(learnable, frozen, clip_cfg, dtype))
+        imf = l2_normalize(
+            vlp_image_features(learnable, frozen, clip_cfg, images, dtype)
+        )
+        logits = scale * imf @ txf.T
+        zs_img = jax.lax.stop_gradient(
+            l2_normalize(vlp_image_features({}, frozen, clip_cfg, images, dtype))
+        )
+        zs_logits = scale * zs_img @ frozen["zs_text"].T
+        s = jax.nn.log_softmax(logits, axis=1)
+        t = jax.nn.log_softmax(zs_logits, axis=1)
+        # the reference loss structure: CE + text/image L1 + logits KL
+        loss = (
+            cross_entropy(logits, labels)
+            + 25.0 * l1_loss(txf, frozen["zs_text"])
+            + 10.0 * l1_loss(imf, zs_img)
+            + 1.0 * (jnp.exp(t) * (t - s)).sum() / logits.size
+        )
+        return loss
+
+    @jax.jit
+    def train_step(learnable, opt_state, frozen, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(learnable, frozen, images, labels)
+        updates, opt_state = tx.update(grads, opt_state, learnable)
+        learnable = optax.apply_updates(learnable, updates)
+        return learnable, opt_state, loss
+
+    images = jnp.asarray(rng.randn(BATCH, 224, 224, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, N_CLASSES, BATCH).astype(np.int32))
+
+    # warmup / compile
+    for _ in range(3):
+        learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    imgs_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "PromptSRC ViT-B/16 train-step throughput (one chip)",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
