@@ -28,6 +28,13 @@ class DataManager:
 
         tfm_train = custom_tfm_train or build_transform(cfg, is_train=True)
         tfm_test = custom_tfm_test or build_transform(cfg, is_train=False)
+        if cfg.SEED >= 0 and hasattr(tfm_train, "rng"):
+            # deterministic augmentation stream under a fixed seed (the
+            # reference reaches the same property via the global RNG seeded
+            # in set_random_seed, dassl tools.py:72-76)
+            import random as _random
+
+            tfm_train.rng = _random.Random(cfg.SEED)
         self.tfm_train, self.tfm_test = tfm_train, tfm_test
         wrapper_cls = dataset_wrapper or DatasetWrapper
 

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Imbalance protocol Setting A: the head half of the classes keeps 16 shots
+# while the tail half sweeps 1..16 shots.
+# Parity: reference scripts/coop/run_setting_a.sh:40-90 (negative NUM_SHOTS
+# flags the per-class path; this framework keys the few-shot cache by the
+# shot-list hash, so the magic per-sweep negative numbers are unnecessary).
+# usage: bash scripts/imbalance/run_setting_a.sh <trainer> <dataset> <seed> \
+#            <config> <n_head_classes> <n_tail_classes> [loss_type] [data_root]
+cd "$(dirname "$0")/../.."
+
+TRAINER=$1
+DATASET=$2
+SEED=$3
+CFG=$4
+HEAD_N=$5
+TAIL_N=$6
+LOSS=${7:-ce}
+DATA=${8:-${DATA:-~/data}}
+
+repeat_value() {
+  local out=""
+  for ((i = 0; i < $2; i++)); do out="$out,$1"; done
+  echo "${out#,}"
+}
+
+for TAIL_SHOTS in 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
+  HEAD=$(repeat_value 16 "${HEAD_N}")
+  TAIL=$(repeat_value "${TAIL_SHOTS}" "${TAIL_N}")
+  PER_CLASS_SHOTS="[${HEAD},${TAIL}]"
+  DIR=output/setting_a/${DATASET}/${TRAINER}/${CFG}/${LOSS}/tail${TAIL_SHOTS}/seed${SEED}
+
+  echo ">> setting A: tail=${TAIL_SHOTS} PER_CLASS_SHOTS=${PER_CLASS_SHOTS}"
+  python train.py \
+      --root "${DATA}" \
+      --seed "${SEED}" \
+      --trainer "${TRAINER}" \
+      --dataset-config-file configs/datasets/${DATASET}.yaml \
+      --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
+      --output-dir "${DIR}" \
+      DATASET.NUM_SHOTS -1 \
+      DATASET.PER_CLASS_SHOTS "${PER_CLASS_SHOTS}" \
+      TRAINER.${TRAINER^^}.LOSS_TYPE "${LOSS}" || exit 1
+done
