@@ -20,8 +20,8 @@ def lora_cfg(tmp_path, **overrides):
         "TRAINER.LORA.TEXT_LOSS_WEIGHT": 0.0,
         "TRAINER.LORA.IMAGE_LOSS_WEIGHT": 0.0,
         "TRAINER.LORA.LOGITS_LOSS_WEIGHT": 0.0,
-        "OPTIM.MAX_EPOCH": 30,
-        "OPTIM.LR": 0.05,
+        "OPTIM.MAX_EPOCH": 40,
+        "OPTIM.LR": 0.01,
         "OPTIM.NAME": "adam",
     }
     base.update(overrides)
