@@ -62,6 +62,11 @@ def get_cfg_default():
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.K_TRANSFORMS = 1
     _C.DATALOADER.RETURN_IMG0 = False
+    # TPU extension: ship uint8 once and fuse random-resized-crop/flip/
+    # normalize into the jitted train step (fsvlm_tpu.ops.preprocess);
+    # PRE_SIZE is the host-side cache resolution
+    _C.DATALOADER.DEVICE_AUG = False
+    _C.DATALOADER.PRE_SIZE = 256
     _C.DATALOADER.TRAIN_X = CN()
     _C.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     _C.DATALOADER.TRAIN_X.BATCH_SIZE = 32

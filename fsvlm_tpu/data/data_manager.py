@@ -45,6 +45,18 @@ class DataManager:
                 sampler_type, data_source, batch_size=batch_size, n_ins=n_ins,
                 seed=cfg.SEED if cfg.SEED >= 0 else None,
             )
+            if is_train and cfg.DATALOADER.DEVICE_AUG:
+                # uint8 raw pipeline; augmentation fuses into the train step
+                from .loader import RawDatasetWrapper
+
+                wrapper = RawDatasetWrapper(data_source, pre_size=cfg.DATALOADER.PRE_SIZE)
+                return BatchLoader(
+                    wrapper,
+                    sampler,
+                    batch_size=batch_size,
+                    drop_last=len(data_source) >= batch_size,
+                    num_threads=max(1, cfg.DATALOADER.NUM_WORKERS),
+                )
             wrapper = wrapper_cls(
                 data_source,
                 tfm,

@@ -94,6 +94,45 @@ class DatasetWrapper:
         return out
 
 
+class RawDatasetWrapper(DatasetWrapper):
+    """Emits fixed-size uint8 images for the device-side fused augmentation
+    pipeline (fsvlm_tpu.ops.preprocess): decode once, resize shorter edge to
+    ``pre_size``, center crop, cache the uint8 array."""
+
+    raw_uint8 = True
+
+    def __init__(self, data_source, pre_size=256, **kw):
+        kw.pop("cache_transformed", None)
+        super().__init__(data_source, transform=None, cache_transformed=False, **kw)
+        self.pre_size = pre_size
+        self._raw_cache = {}
+
+    def __getitem__(self, idx):
+        item = self.data_source[idx]
+        x = self._raw_cache.get(idx)
+        if x is None:
+            from PIL import Image
+
+            img = _decode(item.impath)
+            if not isinstance(img, Image.Image):
+                img = Image.fromarray(np.asarray(img))
+            P = self.pre_size
+            s = P / min(img.width, img.height)
+            img = img.resize((round(img.width * s), round(img.height * s)), Image.BILINEAR)
+            left = (img.width - P) // 2
+            top = (img.height - P) // 2
+            img = img.crop((left, top, left + P, top + P))
+            x = np.asarray(img, np.uint8)
+            self._raw_cache[idx] = x
+        return {
+            "img": x,
+            "label": item.label,
+            "domain": item.domain,
+            "index": idx,
+            "impath": item.impath,
+        }
+
+
 class BatchLoader:
     """Iterable over fixed-shape numpy batches with background prefetch."""
 
@@ -121,8 +160,11 @@ class BatchLoader:
         B = self.batch_size
         if n_valid < B:
             items = items + [items[-1]] * (B - n_valid)
+        img_dtype = (
+            np.uint8 if getattr(self.wrapper, "raw_uint8", False) else np.float32
+        )
         batch = {
-            "img": np.stack([it["img"] for it in items]).astype(np.float32),
+            "img": np.stack([it["img"] for it in items]).astype(img_dtype),
             "label": np.asarray([it["label"] for it in items], np.int32),
             "domain": np.asarray([it["domain"] for it in items], np.int32),
             "index": np.asarray([it["index"] for it in items], np.int32),

@@ -102,6 +102,26 @@ class SimpleTrainer:
         self.opt_state = replicate(self.opt_state, self.mesh)
 
         loss_fn = self.loss_fn
+        if self.cfg.DATALOADER.DEVICE_AUG:
+            # fuse random-resized-crop/flip/normalize into the train step
+            from ..ops.preprocess import random_resized_crop_flip_normalize
+
+            inner = loss_fn
+            out_size = self.cfg.INPUT.SIZE[0]
+            scale = tuple(self.cfg.INPUT.RRCROP_SCALE)
+            mean = jnp.asarray(self.cfg.INPUT.PIXEL_MEAN, jnp.float32)
+            std = jnp.asarray(self.cfg.INPUT.PIXEL_STD, jnp.float32)
+
+            def loss_fn(params, frozen, batch, rng):
+                k_aug, k_rest = jax.random.split(rng)
+                imgs = random_resized_crop_flip_normalize(
+                    batch["img"], k_aug, out_size=out_size, scale=scale,
+                    mean=mean, std=std,
+                )
+                batch = dict(batch, img=imgs)
+                return inner(params, frozen, batch, k_rest)
+
+            self._device_aug_loss_fn = loss_fn
         tx = self.tx
 
         @partial(jax.jit, donate_argnums=(0, 1))

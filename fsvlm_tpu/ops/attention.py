@@ -60,16 +60,11 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
 
-    scale = head_dim ** -0.5
-    # fp32 logits+softmax for numerical parity with torch's fp32 path
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-    )
-    if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    # fused Pallas kernel on TPU, XLA einsum path elsewhere; fp32
+    # logits+softmax either way for parity with torch's fp32 path
+    from .flash_attention import attention_dispatch
 
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = attention_dispatch(q, k, v, mask)
     ctx = out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
     out = ctx @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
