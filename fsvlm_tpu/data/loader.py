@@ -110,6 +110,13 @@ class RawDatasetWrapper(DatasetWrapper):
     def __getitem__(self, idx):
         item = self.data_source[idx]
         x = self._raw_cache.get(idx)
+        if x is None and item.impath.lower().endswith((".jpg", ".jpeg")):
+            # native C++ decode path (GIL released; see fsvlm_tpu.native)
+            from ..native import decode_file
+
+            x = decode_file(item.impath, self.pre_size)
+            if x is not None:
+                self._raw_cache[idx] = x
         if x is None:
             from PIL import Image
 
