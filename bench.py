@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
@@ -45,7 +46,7 @@ def main():
     from fsvlm_tpu.trainers.prompts import build_prompt_context
     from fsvlm_tpu.models.clip import l2_normalize
 
-    clip_cfg = ARCHS["ViT-B/16"]
+    clip_cfg = ARCHS[ARCH]
     params = random_clip_params(clip_cfg, seed=0)
     classnames = [f"class {i}" for i in range(N_CLASSES)]
     pc = build_prompt_context(
@@ -61,9 +62,9 @@ def main():
     }
     learnable = {
         "ctx": jnp.asarray(pc["init_ctx"]),
-        "text_deep": jnp.asarray(rng.normal(0, 0.02, (8, 4, 512)).astype(np.float32)),
-        "vpt_shallow": jnp.asarray(rng.normal(0, 0.02, (4, 768)).astype(np.float32)),
-        "vision_deep": jnp.asarray(rng.normal(0, 0.02, (8, 4, 768)).astype(np.float32)),
+        "text_deep": jnp.asarray(rng.normal(0, 0.02, (clip_cfg.transformer_layers - 4 if clip_cfg.transformer_layers > 4 else 1, 4, clip_cfg.transformer_width)).astype(np.float32)),
+        "vpt_shallow": jnp.asarray(rng.normal(0, 0.02, (4, clip_cfg.vision_width)).astype(np.float32)),
+        "vision_deep": jnp.asarray(rng.normal(0, 0.02, (clip_cfg.vision_layers - 4 if clip_cfg.vision_layers > 4 else 1, 4, clip_cfg.vision_width)).astype(np.float32)),
     }
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
@@ -108,25 +109,30 @@ def main():
         learnable = optax.apply_updates(learnable, updates)
         return learnable, opt_state, loss
 
-    images = jnp.asarray(rng.randn(BATCH, 224, 224, 3).astype(np.float32))
+    images = jnp.asarray(rng.randn(BATCH, clip_cfg.image_resolution, clip_cfg.image_resolution, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, N_CLASSES, BATCH).astype(np.int32))
 
     # warmup / compile
     for _ in range(3):
         learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
+    # each step's loss is fetched to the host: every timed step must have
+    # fully executed on-chip (block_until_ready alone has proven unreliable
+    # through the axon tunnel)
     t0 = time.time()
+    losses = []
     for _ in range(STEPS):
         learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
-    jax.block_until_ready(loss)
+        losses.append(float(loss))
     dt = time.time() - t0
+    assert all(np.isfinite(l) for l in losses), "non-finite loss in bench"
 
     imgs_per_sec = BATCH * STEPS / dt
     print(
         json.dumps(
             {
-                "metric": "PromptSRC ViT-B/16 train-step throughput (one chip)",
+                "metric": f"PromptSRC {ARCH} train-step throughput (one chip)",
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),
