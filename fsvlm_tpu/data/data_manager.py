@@ -64,6 +64,7 @@ class DataManager:
                 k_transforms=cfg.DATALOADER.K_TRANSFORMS if is_train else 1,
                 return_img0=cfg.DATALOADER.RETURN_IMG0 and is_train,
                 img0_transform=tfm_test,
+                seed=cfg.SEED if cfg.SEED >= 0 else None,
             )
             return BatchLoader(
                 wrapper,

@@ -44,16 +44,29 @@ class DatasetWrapper:
 
     def __init__(self, data_source, transform, cache_decoded=True,
                  cache_transformed=False, k_transforms=1, return_img0=False,
-                 img0_transform=None, max_cache_items=60000):
+                 img0_transform=None, max_cache_items=60000, seed=None):
         self.data_source = data_source
         self.transform = transform
         self.k_transforms = k_transforms
         self.return_img0 = return_img0
         self.img0_transform = img0_transform
+        self.seed = seed
+        self._serve_counts = {}
         self._decoded_cache = {} if (cache_decoded and len(data_source) <= max_cache_items) else None
         self._transformed_cache = (
             {} if (cache_transformed and len(data_source) <= max_cache_items) else None
         )
+
+    def _item_rng(self, idx):
+        """Deterministic per-(item, visit) rng: immune to loader-thread
+        interleaving, reproducible under cfg.SEED."""
+        if self.seed is None:
+            return None
+        import random as _random
+
+        count = self._serve_counts.get(idx, 0)
+        self._serve_counts[idx] = count + 1
+        return _random.Random((self.seed * 1_000_003 + idx) * 7919 + count)
 
     def __len__(self):
         return len(self.data_source)
@@ -73,10 +86,16 @@ class DatasetWrapper:
             x = self._transformed_cache[idx]
         else:
             img = self._get_image(idx)
+            tfm_kwargs = {}
+            rng = self._item_rng(idx)
+            if rng is not None and getattr(self.transform, "rng", None) is not None:
+                tfm_kwargs["rng"] = rng
             if self.k_transforms > 1:
-                x = np.stack([self.transform(img) for _ in range(self.k_transforms)])
+                x = np.stack(
+                    [self.transform(img, **tfm_kwargs) for _ in range(self.k_transforms)]
+                )
             else:
-                x = self.transform(img)
+                x = self.transform(img, **tfm_kwargs)
             if self._transformed_cache is not None:
                 self._transformed_cache[idx] = x
         out = {

@@ -96,6 +96,8 @@ class TrainTransform:
             cfg.INPUT.COLORJITTER_S,
             cfg.INPUT.COLORJITTER_H,
         )
+        self.ra_n = cfg.INPUT.RANDAUGMENT_N
+        self.ra_m = cfg.INPUT.RANDAUGMENT_M
         self.rgs_p = cfg.INPUT.RGS_P
         self.cutout_n = cfg.INPUT.CUTOUT_N
         self.cutout_len = cfg.INPUT.CUTOUT_LEN
@@ -107,8 +109,10 @@ class TrainTransform:
         if unknown:
             raise ValueError(f"Unknown INPUT.TRANSFORMS entries: {unknown}")
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
-        rng = self.rng
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        # per-call rng (when given) keeps the augmentation stream independent
+        # of loader thread interleaving — see DatasetWrapper
+        rng = rng or self.rng
         out_w, out_h = self.size[1], self.size[0]
 
         if "random_resized_crop" in self.choices:
@@ -121,6 +125,28 @@ class TrainTransform:
 
         if "random_flip" in self.choices and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
+
+        if any(p in self.choices for p in ("imagenet_policy", "cifar10_policy", "svhn_policy")):
+            from .autoaugment import auto_augment
+
+            policy = next(
+                p for p in ("imagenet_policy", "cifar10_policy", "svhn_policy")
+                if p in self.choices
+            )
+            img = auto_augment(img, policy, rng)
+
+        if "randaugment" in self.choices:
+            from .autoaugment import rand_augment
+
+            img = rand_augment(img, self.ra_n, self.ra_m, rng)
+        if "randaugment2" in self.choices:
+            from .autoaugment import rand_augment2
+
+            img = rand_augment2(img, self.ra_n, rng)
+        if "randaugment_fixmatch" in self.choices:
+            from .autoaugment import rand_augment_fixmatch
+
+            img = rand_augment_fixmatch(img, self.ra_n, rng)
 
         if "colorjitter" in self.choices:
             img = _color_jitter(img, self.cj, rng)

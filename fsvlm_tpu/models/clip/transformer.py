@@ -96,11 +96,18 @@ def transformer(
     n_ctx = 0 if deep_prompts is None else deep_prompts.shape[1]
     splice = _splice_text if splice_kind == "text" else _splice_vision
 
+    dropout_rate = 0.0 if lora is None else float(lora.get("dropout_rate", 0.0))
+    has_dropout = lora is not None and lora.get("dropout_keys") is not None and dropout_rate > 0
+
     def body(carry, layer_inputs):
         params, prompt, flag, lora_slice = layer_inputs
         h = carry
         if n_ctx > 0:
             h = jnp.where(flag, splice(h, prompt, n_ctx), h)
+        if has_dropout:
+            lora_slice = dict(lora_slice)
+            # per-layer typed PRNG key + static rate -> lora dropout in mha
+            lora_slice["dropout"] = (lora_slice.pop("dkey"), dropout_rate)
         h = _block(params, h, n_heads, mask, lora_slice)
         return h, None
 
@@ -119,6 +126,8 @@ def transformer(
             name: (a, b, lora["scale"] * lora["mask"])
             for name, (a, b) in lora["proj"].items()
         }
+        if has_dropout:
+            lora_xs["dkey"] = lora["dropout_keys"]
 
     xs = (blocks, deep_prompts, splice_flags, lora_xs)
     x, _ = jax.lax.scan(body, x, xs)

@@ -43,11 +43,24 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
     qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)  # (B, L, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
+    def lora_input(name):
+        """LoRA-branch input, with the reference's per-projection dropout
+        (utils/layers.py lora_dropout before lora_A) when a key is given."""
+        if lora_delta is None or "dropout" not in lora_delta:
+            return x
+        key, rate = lora_delta["dropout"]
+        if rate <= 0.0:
+            return x
+        pkey = jax.random.fold_in(key, {"q": 0, "k": 1, "v": 2, "o": 3}[name])
+        keep = jax.random.bernoulli(pkey, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
     if lora_delta is not None:
         for name, arr in zip(("q", "k", "v"), (q, k, v)):
             if name in lora_delta:
                 a, b_, scale = lora_delta[name]
-                delta = (x @ a.astype(x.dtype)) @ b_.astype(x.dtype) * scale
+                xin = lora_input(name)
+                delta = (xin @ a.astype(x.dtype)) @ b_.astype(x.dtype) * scale
                 if name == "q":
                     q = q + delta
                 elif name == "k":
@@ -73,7 +86,14 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
         # the reference's separately wrapped proj Linear
         # (PromptSRC/utils/layers.py:416-608).
         a, b_, scale_o = lora_delta["o"]
-        out = out + (ctx @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o
+        ctx_in = ctx
+        if "dropout" in lora_delta:
+            key, rate = lora_delta["dropout"]
+            if rate > 0.0:
+                pkey = jax.random.fold_in(key, 3)
+                keep = jax.random.bernoulli(pkey, 1.0 - rate, ctx.shape)
+                ctx_in = jnp.where(keep, ctx / (1.0 - rate), 0.0).astype(ctx.dtype)
+        out = out + (ctx_in @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o
     return out
 
 

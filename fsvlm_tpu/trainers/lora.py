@@ -19,8 +19,9 @@ the whole adapted tower stays a single lax.scan — no module surgery
 Gradients flow through the frozen towers to the factors; blocks are
 rematerialized (jax.checkpoint) to keep HBM flat.
 
-Known gap vs reference: DROPOUT_RATE (lora dropout on the projection input)
-is not yet applied — deterministic path only.
+DROPOUT_RATE applies the reference's lora-dropout on the projection inputs
+during training (per-layer PRNG keys threaded through the scan); evaluation
+is deterministic.
 """
 
 import os
@@ -163,19 +164,29 @@ class LoRA(SimpleTrainer):
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
 
-        def lora_arg(params, which):
+        dropout_rate = float(node.DROPOUT_RATE)
+        n_layers = {"text": clip_cfg.transformer_layers, "vision": clip_cfg.vision_layers}
+
+        def lora_arg(params, which, rng=None):
             if which not in params:
                 return None
-            return {"proj": params[which], "scale": scale, "mask": masks[which]}
+            arg = {"proj": params[which], "scale": scale, "mask": masks[which]}
+            if rng is not None and dropout_rate > 0:
+                # per-layer dropout keys; train path only (reference applies
+                # lora_dropout before each projection, utils/layers.py)
+                base = jax.random.fold_in(rng, 0 if which == "text" else 1)
+                arg["dropout_keys"] = jax.random.split(base, n_layers[which])
+                arg["dropout_rate"] = dropout_rate
+            return arg
 
-        def towers(params, frozen, images):
+        def towers(params, frozen, images, rng=None):
             txf = encode_text_embeds(
                 frozen["clip"],
                 clip_cfg_,
                 frozen["fixed_prompts"],
                 frozen["eot_idx"],
                 compute_dtype=dtype,
-                lora=lora_arg(params, "text"),
+                lora=lora_arg(params, "text", rng),
                 remat=True,
             )
             imf = encode_image_vit(
@@ -183,7 +194,7 @@ class LoRA(SimpleTrainer):
                 clip_cfg_,
                 images,
                 compute_dtype=dtype,
-                lora=lora_arg(params, "vision"),
+                lora=lora_arg(params, "vision", rng),
                 remat=True,
             )
             return l2_normalize(imf), l2_normalize(txf)
@@ -194,7 +205,7 @@ class LoRA(SimpleTrainer):
 
         def loss_fn(params, frozen, batch, rng_key):
             images, labels = batch["img"], batch["label"]
-            imf, txf = towers(params, frozen, images)
+            imf, txf = towers(params, frozen, images, rng_key)
             logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
             logits = logit_scale * imf @ txf.T
             loss = cross_entropy(logits, labels)

@@ -17,6 +17,7 @@ def lora_cfg(tmp_path, **overrides):
         "TRAINER.LORA.PARAMS": ["q", "k", "v"],
         "TRAINER.LORA.R": 4,
         "TRAINER.LORA.ALPHA": 1,
+        "TRAINER.LORA.DROPOUT_RATE": 0.0,
         "TRAINER.LORA.TEXT_LOSS_WEIGHT": 0.0,
         "TRAINER.LORA.IMAGE_LOSS_WEIGHT": 0.0,
         "TRAINER.LORA.LOGITS_LOSS_WEIGHT": 0.0,
@@ -29,6 +30,8 @@ def lora_cfg(tmp_path, **overrides):
 
 
 def test_lora_learns_and_checkpoint_roundtrip(tmp_path):
+    import jax
+
     cfg = lora_cfg(tmp_path)
     cfg.freeze()
     t = build_trainer(cfg)
@@ -36,9 +39,16 @@ def test_lora_learns_and_checkpoint_roundtrip(tmp_path):
     assert set(t.params["text"]) == {"q", "k", "v"}
     a, b = t.params["text"]["q"]
     assert a.shape == (2, 64, 4) and b.shape == (2, 4, 64)  # tiny: 2 layers
-    acc = t.train()
-    # LoRA on tiny *random* towers moves slowly; above-chance is the bar
-    assert acc > 18.0, f"LoRA failed to learn: {acc}"
+
+    # NB: LoRA's statistical power comes from adapting *pretrained* towers;
+    # on random towers (all that's available offline) the sound check is
+    # optimization progress, not accuracy: the training loss must drop.
+    fixed = t.parse_batch_train(next(iter(t.train_loader_x)))
+    key = jax.random.PRNGKey(0)
+    loss_before = float(t.loss_fn(t.params, t.frozen, fixed, key)[0])
+    t.train()
+    loss_after = float(t.loss_fn(t.params, t.frozen, fixed, key)[0])
+    assert loss_after < loss_before - 0.05, (loss_before, loss_after)
 
     # LoRA-only checkpoint with metadata validation
     t2 = build_trainer(cfg)
@@ -66,6 +76,25 @@ def test_lora_zero_init_matches_zeroshot(tmp_path):
     }
     also = np.asarray(t._eval_step(zero_params, t.frozen, imgs))
     np.testing.assert_allclose(with_lora, also, rtol=1e-5, atol=1e-5)
+
+
+def test_lora_dropout_trains_and_eval_deterministic(tmp_path):
+    cfg = lora_cfg(
+        tmp_path,
+        **{
+            "TRAINER.LORA.DROPOUT_RATE": 0.25,
+            "OPTIM.MAX_EPOCH": 2,
+            "TEST.NO_TEST": True,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    batch = next(iter(t.test_loader))
+    imgs = t.parse_batch_test(batch)["img"]
+    a = np.asarray(t.model_inference(imgs))
+    b = np.asarray(t.model_inference(imgs))
+    np.testing.assert_array_equal(a, b)  # no dropout at eval
 
 
 def test_simclr_two_view_loader(tmp_path):
