@@ -64,6 +64,12 @@ class SimpleTrainer:
         # method contract: must set self.params, self.frozen, self.loss_fn,
         # self.logits_fn, self.model_name
         self.build_model()
+        if cfg.MODEL.INIT_WEIGHTS:
+            # load_pretrained_weights parity (dassl torchtools.py:267-314):
+            # initialize the trainable pytree from a checkpoint file
+            ckpt = load_checkpoint(cfg.MODEL.INIT_WEIGHTS)
+            self.params = self._coerce_params(ckpt["state_dict"])
+            print(f'Initialized params from "{cfg.MODEL.INIT_WEIGHTS}"')
         self.evaluator = build_evaluator(cfg, lab2cname=self.lab2cname)
 
         self._build_optimizer()

@@ -1,0 +1,69 @@
+"""Engine features: best-val checkpointing, resume, INIT_WEIGHTS, NaN guard."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fsvlm_tpu.engine import build_trainer
+import fsvlm_tpu.trainers  # noqa: F401
+from test_coop_end2end import make_cfg
+
+
+def test_best_val_checkpointing(tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        **{
+            "TEST.FINAL_MODEL": "best_val",
+            "OPTIM.MAX_EPOCH": 6,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    best = os.path.join(cfg.OUTPUT_DIR, "prompt_learner", "model-best.pkl")
+    assert os.path.exists(best)
+    assert t.best_result > -np.inf
+
+
+def test_resume_from_pointer_file(tmp_path):
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 3, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+
+    t2 = build_trainer(cfg)
+    start = t2.resume_model_if_exist(cfg.OUTPUT_DIR)
+    assert start == 3  # picks up after the final saved epoch
+
+
+def test_init_weights(tmp_path):
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 2, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    ckpt = os.path.join(cfg.OUTPUT_DIR, "prompt_learner", "model.pkl-2")
+    assert os.path.exists(ckpt)
+
+    cfg2 = make_cfg(
+        tmp_path / "b", **{"MODEL.INIT_WEIGHTS": ckpt, "TEST.NO_TEST": True}
+    )
+    cfg2.freeze()
+    t2 = build_trainer(cfg2)
+    np.testing.assert_allclose(
+        np.asarray(t2.params["ctx"]), np.asarray(t.params["ctx"]), rtol=1e-6
+    )
+
+
+def test_nan_guard(tmp_path):
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 1, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+
+    import jax.numpy as jnp
+
+    original = t.loss_fn
+    t.loss_fn = lambda p, f, b, r: (jnp.float32(jnp.nan), {})
+    t._compile_steps()
+    with pytest.raises(FloatingPointError):
+        t.train()
