@@ -25,8 +25,42 @@ STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
 
+def _device_probe(timeout_s=600):
+    """The axon TPU tunnel can wedge (every buffer op hangs while
+    jax.devices() still answers).  Probe with a tiny op under a timeout so a
+    wedged device yields a diagnosable result instead of an infinite hang."""
+    import threading
+
+    ok = {}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        ok["v"] = float(jnp.ones((8, 8)).sum())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return "v" in ok
+
+
 def main():
     import jax
+
+    if not _device_probe():
+        print(
+            json.dumps(
+                {
+                    "metric": f"PromptSRC {ARCH} train-step throughput (one chip)",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "note": "device unreachable: TPU tunnel wedged (buffer ops hang)",
+                }
+            )
+        )
+        os._exit(2)
 
     # persistent compile cache: axon remote-compile is slow (~minutes for the
     # full two-tower program); repeat bench runs hit the cache

@@ -150,6 +150,16 @@ class SimpleTrainer:
         self._train_step = train_step
         self._eval_step = eval_step
 
+        # optional split eval: encode the class-prompt text features ONCE per
+        # test() call instead of once per batch (the reference re-runs the
+        # text tower on every eval batch) — a large win at eval time for
+        # big class counts.  Trainers opt in by setting text_features_fn +
+        # image_logits_fn.
+        self._text_step = self._eval_with_txf = None
+        if getattr(self, "text_features_fn", None) is not None:
+            self._text_step = jax.jit(self.text_features_fn)
+            self._eval_with_txf = jax.jit(self.image_logits_fn)
+
     # ------------------------------------------------------------------ train
     def train(self, start_epoch=None, max_epoch=None):
         self.start_epoch = start_epoch if start_epoch is not None else self.start_epoch
@@ -279,10 +289,21 @@ class SimpleTrainer:
             data_loader = self.test_loader
         print(f"Evaluate on the *{split}* set")
 
+        cached_txf = None
+        if self._text_step is not None:
+            cached_txf = self._text_step(self.params, self.frozen)
+
         for batch in data_loader:
             valid = batch["valid"]
             device_batch = self.parse_batch_test(batch)
-            logits = np.asarray(self.model_inference(device_batch["img"]))
+            if cached_txf is not None:
+                logits = np.asarray(
+                    self._eval_with_txf(
+                        self.params, self.frozen, device_batch["img"], cached_txf
+                    )
+                )
+            else:
+                logits = np.asarray(self.model_inference(device_batch["img"]))
             self.evaluator.process(logits[valid], batch["label"][valid])
 
         results = self.evaluator.evaluate()

@@ -114,3 +114,10 @@ class CoOp(SimpleTrainer):
 
         self.loss_fn = loss_fn
         self.logits_fn = logits_of
+        # split eval: class text features computed once per test() call
+        self.text_features_fn = lambda p, f: l2_normalize(text_features(p, f))
+        self.image_logits_fn = lambda p, f, images, txf: (
+            jnp.exp(f["clip"]["logit_scale"])
+            * l2_normalize(encode_image(f["clip"], clip_cfg_, images, compute_dtype=dtype))
+            @ txf.T
+        )

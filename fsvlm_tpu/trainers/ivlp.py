@@ -151,3 +151,12 @@ class IVLP(SimpleTrainer):
 
         self.loss_fn = loss_fn
         self.logits_fn = logits_of
+        # split eval: class text features computed once per test() call
+        self.text_features_fn = lambda p, f: l2_normalize(
+            vlp_text_features(p, f, clip_cfg_, dtype)
+        )
+        self.image_logits_fn = lambda p, f, images, txf: (
+            jnp.exp(f["clip"]["logit_scale"])
+            * l2_normalize(vlp_image_features(p, f, clip_cfg_, images, dtype))
+            @ txf.T
+        )

@@ -234,6 +234,30 @@ class LoRA(SimpleTrainer):
 
         self.loss_fn = loss_fn
         self.logits_fn = logits_of
+        def text_features(p, f):
+            return l2_normalize(
+                encode_text_embeds(
+                    f["clip"],
+                    clip_cfg_,
+                    f["fixed_prompts"],
+                    f["eot_idx"],
+                    compute_dtype=dtype,
+                    lora=lora_arg(p, "text"),
+                    remat=True,
+                )
+            )
+
+        self.text_features_fn = text_features
+        self.image_logits_fn = lambda p, f, images, txf: (
+            jnp.exp(f["clip"]["logit_scale"])
+            * l2_normalize(
+                encode_image_vit(
+                    f["clip"], clip_cfg_, images, compute_dtype=dtype,
+                    lora=lora_arg(p, "vision"), remat=True,
+                )
+            )
+            @ txf.T
+        )
 
     # ------------------------------------------------------ LoRA checkpoints
     def _lora_dir(self, directory):

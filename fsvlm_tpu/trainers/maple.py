@@ -109,13 +109,28 @@ class MaPLe(SimpleTrainer):
             flags[1 : 1 + k] = True
             return full, jnp.asarray(flags)
 
-        def towers(params, frozen, images):
+        def text_features(params, frozen):
             prompts = assemble_prompts(
                 params["ctx"], frozen["base_embed"], frozen["ctx_scatter"]
             )
-            deep_t = flags_t = deep_v = flags_v = None
+            deep_t = flags_t = None
             if "compound_text" in params:
                 deep_t, flags_t = make_deep(params["compound_text"], n_layers_t)
+            return l2_normalize(
+                encode_text_embeds(
+                    frozen["clip"],
+                    clip_cfg_,
+                    prompts,
+                    frozen["eot_idx"],
+                    deep_prompts=deep_t,
+                    splice_flags=flags_t,
+                    compute_dtype=dtype,
+                )
+            )
+
+        def image_features(params, frozen, images):
+            deep_v = flags_v = None
+            if "compound_text" in params:
                 # per-depth linear projections of the text prompts
                 proj_rows = (
                     jnp.einsum(
@@ -126,25 +141,21 @@ class MaPLe(SimpleTrainer):
                     + params["compound_proj"]["b"][:, None, :]
                 )
                 deep_v, flags_v = make_deep(proj_rows, n_layers_v)
-
-            txf = encode_text_embeds(
-                frozen["clip"],
-                clip_cfg_,
-                prompts,
-                frozen["eot_idx"],
-                deep_prompts=deep_t,
-                splice_flags=flags_t,
-                compute_dtype=dtype,
-            )
             shared_vis_ctx = params["ctx"] @ params["proj"]["w"] + params["proj"]["b"]
-            imf = encode_image(
-                frozen["clip"],
-                clip_cfg_,
-                images,
-                prompts=VisionPrompts(shallow=shared_vis_ctx, deep=deep_v, flags=flags_v),
-                compute_dtype=dtype,
+            return l2_normalize(
+                encode_image(
+                    frozen["clip"],
+                    clip_cfg_,
+                    images,
+                    prompts=VisionPrompts(
+                        shallow=shared_vis_ctx, deep=deep_v, flags=flags_v
+                    ),
+                    compute_dtype=dtype,
+                )
             )
-            return l2_normalize(imf), l2_normalize(txf)
+
+        def towers(params, frozen, images):
+            return image_features(params, frozen, images), text_features(params, frozen)
 
         def logits_of(params, frozen, images):
             imf, txf = towers(params, frozen, images)
@@ -161,3 +172,7 @@ class MaPLe(SimpleTrainer):
 
         self.loss_fn = loss_fn
         self.logits_fn = logits_of
+        self.text_features_fn = text_features
+        self.image_logits_fn = lambda p, f, images, txf: (
+            jnp.exp(f["clip"]["logit_scale"]) * image_features(p, f, images) @ txf.T
+        )

@@ -134,3 +134,20 @@ class PLIP(SimpleTrainer):
 
         self.loss_fn = loss_fn
         self.logits_fn = logits_of
+
+        def text_features(params, frozen):
+            ctx = get_ctx(params, frozen)
+            prompts = assemble_prompts(ctx, frozen["base_embed"], frozen["ctx_scatter"])
+            txf = encode_text_embeds(
+                frozen["clip"], clip_cfg_, prompts, frozen["eot_idx"], compute_dtype=dtype
+            )
+            return txf / jnp.linalg.norm(txf, axis=-1, keepdims=True)
+
+        self.text_features_fn = text_features
+        self.image_logits_fn = lambda p, f, images, txf: (
+            jnp.exp(f["clip"]["logit_scale"])
+            * (lambda v: v / jnp.linalg.norm(v, axis=-1, keepdims=True))(
+                encode_image(f["clip"], clip_cfg_, images, compute_dtype=dtype)
+            )
+            @ txf.T
+        )
