@@ -93,6 +93,7 @@ class IVLP(SimpleTrainer):
 
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
+        remat = bool(cfg.TRAIN.REMAT)
         use_focal = self.use_focal
         simclr_alpha = self.simclr_alpha
         use_mixup, mixup_alpha = self.use_mixup, self.mixup_alpha
@@ -116,8 +117,8 @@ class IVLP(SimpleTrainer):
                 images, perm, lam = mixup_batch(rng_key, images, mixup_alpha)
                 labels_b = labels[perm]
 
-            imf = vlp_image_features(params, frozen, clip_cfg_, images, dtype)
-            txf = vlp_text_features(params, frozen, clip_cfg_, dtype)
+            imf = vlp_image_features(params, frozen, clip_cfg_, images, dtype, remat=remat)
+            txf = vlp_text_features(params, frozen, clip_cfg_, dtype, remat=remat)
             imf_n = l2_normalize(imf)
             logits = jnp.exp(frozen["clip"]["logit_scale"]) * imf_n @ l2_normalize(txf).T
 

@@ -66,7 +66,7 @@ def _pad_deep(deep, n_layers):
     return full, jnp.asarray(flags)
 
 
-def vlp_text_features(params, frozen, clip_cfg, compute_dtype, lora=None):
+def vlp_text_features(params, frozen, clip_cfg, compute_dtype, lora=None, remat=False):
     """Text tower with first-layer ctx splice + deep prompt replacement."""
     prompts = assemble_prompts(
         params["ctx"], frozen["base_embed"], frozen["ctx_scatter"]
@@ -83,10 +83,11 @@ def vlp_text_features(params, frozen, clip_cfg, compute_dtype, lora=None):
         splice_flags=flags,
         compute_dtype=compute_dtype,
         lora=lora,
+        remat=remat,
     )
 
 
-def vlp_image_features(params, frozen, clip_cfg, images, compute_dtype, lora=None):
+def vlp_image_features(params, frozen, clip_cfg, images, compute_dtype, lora=None, remat=False):
     """Image tower with optional shallow + deep vision prompts."""
     vision_prompts = None
     if "vpt_shallow" in params:
@@ -103,6 +104,7 @@ def vlp_image_features(params, frozen, clip_cfg, images, compute_dtype, lora=Non
         prompts=vision_prompts,
         compute_dtype=compute_dtype,
         lora=lora,
+        remat=remat,
     )
 
 

@@ -70,14 +70,15 @@ class PromptSRC(IVLP):
         loss_type = self.loss_type
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
+        remat = bool(cfg.TRAIN.REMAT)
 
         def loss_fn(params, frozen, batch, rng_key):
             images, labels = batch["img"], batch["label"]
             logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
 
-            txf = l2_normalize(vlp_text_features(params, frozen, clip_cfg_, dtype))
+            txf = l2_normalize(vlp_text_features(params, frozen, clip_cfg_, dtype, remat=remat))
             imf = l2_normalize(
-                vlp_image_features(params, frozen, clip_cfg_, images, dtype)
+                vlp_image_features(params, frozen, clip_cfg_, images, dtype, remat=remat)
             )
             logits = logit_scale * imf @ txf.T
 
