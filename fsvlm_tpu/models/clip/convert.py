@@ -270,6 +270,77 @@ def load_openai_checkpoint(path):
 # random initialization (tests, benchmarks, dry-runs; no network access)
 # --------------------------------------------------------------------------
 
+def _random_resnet_visual(cfg, rng):
+    """ModifiedResNet random weights (reference init: bn3 scale zeroed,
+    attnpool projections std=width**-0.5, clip/model.py:573-583)."""
+
+    def conv(kh, kw, cin, cout):
+        bound = 1.0 / np.sqrt(cin * kh * kw)
+        return rng.uniform(-bound, bound, (kh, kw, cin, cout)).astype(np.float32)
+
+    def bn(c, zero_scale=False):
+        return {
+            "scale": (np.zeros if zero_scale else np.ones)(c).astype(np.float32),
+            "bias": np.zeros(c, np.float32),
+            "mean": np.zeros(c, np.float32),
+            "var": np.ones(c, np.float32),
+        }
+
+    W = cfg.vision_width
+    visual = {
+        "stem": {
+            "conv1": conv(3, 3, 3, W // 2),
+            "bn1": bn(W // 2),
+            "conv2": conv(3, 3, W // 2, W // 2),
+            "bn2": bn(W // 2),
+            "conv3": conv(3, 3, W // 2, W),
+            "bn3": bn(W),
+        },
+        "layers": [],
+    }
+    inplanes = W
+    for li, n_blocks in enumerate(cfg.vision_layers):
+        planes = W * (2 ** li)
+        stage = []
+        for b in range(n_blocks):
+            block = {
+                "conv1": conv(1, 1, inplanes if b == 0 else planes * 4, planes),
+                "bn1": bn(planes),
+                "conv2": conv(3, 3, planes, planes),
+                "bn2": bn(planes),
+                "conv3": conv(1, 1, planes, planes * 4),
+                "bn3": bn(planes * 4, zero_scale=True),
+            }
+            if b == 0:
+                block["downsample"] = {
+                    "conv": conv(1, 1, inplanes, planes * 4),
+                    "bn": bn(planes * 4),
+                }
+            stage.append(block)
+        inplanes = planes * 4
+        visual["layers"].append(stage)
+
+    embed_dim_v = W * 32
+    std = embed_dim_v ** -0.5
+    spacial = cfg.image_resolution // 32
+
+    def linear(cin, cout):
+        return {
+            "w": rng.normal(0, std, (cin, cout)).astype(np.float32),
+            "b": np.zeros(cout, np.float32),
+        }
+
+    visual["attnpool"] = {
+        "positional_embedding": (
+            rng.randn(spacial ** 2 + 1, embed_dim_v) / np.sqrt(embed_dim_v)
+        ).astype(np.float32),
+        "q_proj": linear(embed_dim_v, embed_dim_v),
+        "k_proj": linear(embed_dim_v, embed_dim_v),
+        "v_proj": linear(embed_dim_v, embed_dim_v),
+        "c_proj": linear(embed_dim_v, cfg.embed_dim),
+    }
+    return visual
+
 def random_clip_params(cfg: CLIPConfig, seed=0):
     """Random CLIP weights with the reference's init distributions
     (CLIP.initialize_parameters, clip/model.py:567-591). ViT only for now;
@@ -307,14 +378,16 @@ def random_clip_params(cfg: CLIPConfig, seed=0):
         }
 
     if not cfg.is_vit:
-        raise NotImplementedError(
-            "random init for ModifiedResNet towers: convert a torch checkpoint instead"
-        )
+        visual = _random_resnet_visual(cfg, rng)
+    else:
+        visual = None
 
     W = cfg.vision_width
     scale = W ** -0.5
     params = {
-        "visual": {
+        "visual": visual
+        if visual is not None
+        else {
             "patch_embed": normal(
                 (cfg.vision_patch_size, cfg.vision_patch_size, 3, W),
                 (3 * cfg.vision_patch_size ** 2) ** -0.5,

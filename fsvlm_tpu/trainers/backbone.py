@@ -49,10 +49,6 @@ def load_clip_backbone(cfg):
     arch = ARCHS[name]
 
     if name.startswith("test-tiny") or not cfg.MODEL.BACKBONE.PRETRAINED:
-        if not arch.is_vit:
-            raise NotImplementedError(
-                "random init for ResNet towers is not supported; provide weights"
-            )
         print(f"Building {name} CLIP with random weights (no pretrained load)")
         return random_clip_params(arch, seed=max(cfg.SEED, 0)), arch
 
