@@ -179,6 +179,15 @@ class SimpleTrainer:
         mkdir_if_missing(self.output_dir)
         self._writer = TensorboardWriter(os.path.join(self.output_dir, "tensorboard"))
         self.time_start = time.time()
+        # observability extension: FSVLM_PROFILE_DIR captures a jax profiler
+        # trace of the whole run (view with tensorboard/xprof); the
+        # reference's only tracing is wall-clock meters (SURVEY.md §5.1)
+        profile_dir = os.environ.get("FSVLM_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+        else:
+            self._profiling = False
 
     def before_epoch(self):
         pass
@@ -259,6 +268,9 @@ class SimpleTrainer:
 
     def after_train(self):
         print("Finish training")
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
         result = None
         if not self.cfg.TEST.NO_TEST:
             if self.cfg.TEST.FINAL_MODEL == "best_val":

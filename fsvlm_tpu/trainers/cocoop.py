@@ -86,6 +86,8 @@ class CoCoOp(SimpleTrainer):
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
 
+        n_cls = len(classnames)
+
         def logits_of(params, frozen, images):
             imf = l2_normalize(
                 encode_image(frozen["clip"], clip_cfg_, images, compute_dtype=dtype)
@@ -94,8 +96,39 @@ class CoCoOp(SimpleTrainer):
             h = jnp.maximum(imf @ params["meta_net"]["w1"] + params["meta_net"]["b1"], 0.0)
             bias = h @ params["meta_net"]["w2"] + params["meta_net"]["b2"]  # (B, D)
             ctx = params["ctx"][None] + bias[:, None, :]  # (B, n_ctx, D)
+            scale = jnp.exp(frozen["clip"]["logit_scale"])
 
-            # (B, n_cls, L, D) prompts in one einsum, flattened through the tower
+            def text_logits(args):
+                """All n_cls conditioned prompts for one image -> (n_cls,)."""
+                ctx_i, imf_i = args
+                delta = jnp.einsum(
+                    "cpj,jd->cpd", frozen["ctx_scatter"], ctx_i.astype(jnp.float32)
+                )
+                prompts = frozen["base_embed"] + delta
+                txf = l2_normalize(
+                    encode_text_embeds(
+                        frozen["clip"],
+                        clip_cfg_,
+                        prompts,
+                        frozen["eot_idx"],
+                        compute_dtype=dtype,
+                    ),
+                    axis=-1,
+                )
+                return scale * txf @ imf_i
+
+            B = images.shape[0]
+            if B * n_cls <= 4096:
+                # fully batched: one flattened pass through the text tower
+                return scale * jnp.einsum(
+                    "be,bce->bc", imf, _batched_text_features(params, frozen, ctx)
+                )
+            # bounded-memory path for large batch x class products: lax.map
+            # keeps one image's n_cls text forwards live at a time (still no
+            # python loops — contrast cocoop.py:247-251)
+            return jax.lax.map(text_logits, (ctx, imf))
+
+        def _batched_text_features(params, frozen, ctx):
             delta = jnp.einsum(
                 "cpj,bjd->bcpd", frozen["ctx_scatter"], ctx.astype(jnp.float32)
             )
@@ -108,9 +141,7 @@ class CoCoOp(SimpleTrainer):
                 jnp.tile(frozen["eot_idx"], B),
                 compute_dtype=dtype,
             ).reshape(B, C, -1)
-            txf = l2_normalize(txf, axis=-1)
-            scale = jnp.exp(frozen["clip"]["logit_scale"])
-            return scale * jnp.einsum("be,bce->bc", imf, txf)
+            return l2_normalize(txf, axis=-1)
 
         def loss_fn(params, frozen, batch, rng_key):
             logits = logits_of(params, frozen, batch["img"])
