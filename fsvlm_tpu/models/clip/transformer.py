@@ -70,6 +70,7 @@ def transformer(
     splice_kind="text",
     lora=None,
     remat=False,
+    collect_activations=False,
 ):
     """Run the stacked transformer.
 
@@ -109,7 +110,10 @@ def transformer(
             # per-layer typed PRNG key + static rate -> lora dropout in mha
             lora_slice["dropout"] = (lora_slice.pop("dkey"), dropout_rate)
         h = _block(params, h, n_heads, mask, lora_slice)
-        return h, None
+        # debug/interpretability hook: per-layer outputs (the reference's
+        # Transformer.saved_features instrumentation, clip/model.py:340-366,
+        # as a pure output instead of module state)
+        return h, (h if collect_activations else None)
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
@@ -130,5 +134,7 @@ def transformer(
             lora_xs["dkey"] = lora["dropout_keys"]
 
     xs = (blocks, deep_prompts, splice_flags, lora_xs)
-    x, _ = jax.lax.scan(body, x, xs)
+    x, layer_outputs = jax.lax.scan(body, x, xs)
+    if collect_activations:
+        return x, layer_outputs
     return x

@@ -16,6 +16,7 @@ Divergence: no hard exit() after training (train.py:379-381 fork quirk).
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -127,6 +128,16 @@ def maybe_override_simclr_loader(cfg, trainer):
 
 
 def main(args):
+    # persistent XLA compile cache — first full-model TPU compile is minutes;
+    # every later run with the same shapes is instant
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     cfg = setup_cfg(args)
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")
