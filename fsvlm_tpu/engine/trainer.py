@@ -306,8 +306,10 @@ class SimpleTrainer:
             cached_txf = self._text_step(self.params, self.frozen)
 
         for batch in data_loader:
-            valid = batch["valid"]
             device_batch = self.parse_batch_test(batch)
+            # shard_batch may pad to the mesh size; use the padded mask/labels
+            valid = np.asarray(device_batch["valid"])
+            labels = np.asarray(device_batch["label"])
             if cached_txf is not None:
                 logits = np.asarray(
                     self._eval_with_txf(
@@ -316,7 +318,7 @@ class SimpleTrainer:
                 )
             else:
                 logits = np.asarray(self.model_inference(device_batch["img"]))
-            self.evaluator.process(logits[valid], batch["label"][valid])
+            self.evaluator.process(logits[valid], labels[valid])
 
         results = self.evaluator.evaluate()
         for k, v in results.items():

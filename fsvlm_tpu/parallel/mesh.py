@@ -29,19 +29,27 @@ def data_sharded(mesh):
 def shard_batch(batch, mesh):
     """Place a host numpy batch dict onto the mesh, sharded along axis 0.
 
-    Batch sizes produced by BatchLoader are fixed per loader; callers must
-    pick batch sizes divisible by the mesh size (asserted here).
+    Batch axes not divisible by the mesh size are padded by repeating the
+    last row; the ``valid`` mask (when present) is extended with False so
+    padded rows never contribute to metrics.  (Losses average over padded
+    rows on the train path — train loaders use drop_last with
+    device-divisible batch sizes, so padding only arises at eval.)
     """
     n = mesh.devices.size
     sharding = data_sharded(mesh)
+    b = next(v.shape[0] for k, v in batch.items() if k != "impath")
+    pad = (-b) % n
 
-    def put(x):
-        assert x.shape[0] % n == 0, (
-            f"batch axis {x.shape[0]} not divisible by mesh size {n}"
-        )
+    def put(key, x):
+        if pad:
+            if key == "valid":
+                fill = np.zeros((pad,) + x.shape[1:], dtype=x.dtype)
+            else:
+                fill = np.repeat(x[-1:], pad, axis=0)
+            x = np.concatenate([np.asarray(x), fill], axis=0)
         return jax.device_put(x, sharding)
 
-    return {k: put(v) for k, v in batch.items() if k != "impath"}
+    return {k: put(k, v) for k, v in batch.items() if k != "impath"}
 
 
 def replicate(tree, mesh):
