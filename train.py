@@ -128,6 +128,14 @@ def maybe_override_simclr_loader(cfg, trainer):
 
 
 def main(args):
+    # multi-host (DCN) slices: initialize the JAX distributed runtime when
+    # launched under a multi-process TPU env (SURVEY.md §5.8 — the reference
+    # has no multi-node path at all; here it falls out of the same SPMD step)
+    if os.environ.get("FSVLM_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
+
     # persistent XLA compile cache — first full-model TPU compile is minutes;
     # every later run with the same shapes is instant
     try:
