@@ -215,10 +215,11 @@ class SimpleTrainer:
                     if not np.isfinite(host["loss"]):
                         raise FloatingPointError(f"Loss is infinite or NaN: {host}")
                     losses.update(host)
-                    n_iter = self.epoch * num_batches + bi
-                    for name, meter in losses.meters.items():
-                        self._writer.scalar(f"train/{name}", meter.avg, n_iter)
-                    self._writer.scalar(f"train/lr", self.get_current_lr(), n_iter)
+                    if self._writer:
+                        n_iter = self.epoch * num_batches + bi
+                        for name, meter in losses.meters.items():
+                            self._writer.scalar(f"train/{name}", meter.avg, n_iter)
+                        self._writer.scalar("train/lr", self.get_current_lr(), n_iter)
                 pending.clear()
 
                 nb_remain = (num_batches - batch_idx - 1) + (

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""End-to-end training-loop benchmark: input pipeline + fused device aug +
+train step, through the real trainer (not an isolated step).
+
+BENCH_ARCH=test-tiny works on CPU; on TPU run with the default ViT-B/16.
+Prints one JSON line {metric, value, unit}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
+SHOTS = int(os.environ.get("BENCH_SHOTS", "16"))
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from fsvlm_tpu.config import get_cfg_default
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    img = 224 if ARCH.startswith(("ViT", "RN")) else 32
+    cfg = get_cfg_default()
+    cfg.SEED = 0
+    cfg.VERBOSE = False
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.NUM_SHOTS = SHOTS
+    cfg.INPUT.SIZE = (img, img)
+    cfg.INPUT.TRANSFORMS = ["random_resized_crop", "random_flip", "normalize"]
+    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+    cfg.MODEL.BACKBONE.NAME = ARCH if ARCH.startswith("test") else ARCH
+    cfg.MODEL.BACKBONE.PRETRAINED = False
+    cfg.TRAINER.NAME = "PromptSRC"
+    cfg.TRAINER.PROMPTSRC.PREC = "bf16" if jax.default_backend() != "cpu" else "fp32"
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = BATCH
+    cfg.DATALOADER.TEST.BATCH_SIZE = BATCH
+    cfg.DATALOADER.DEVICE_AUG = True
+    cfg.DATALOADER.PRE_SIZE = max(img + 32, 96)
+    cfg.OPTIM.MAX_EPOCH = EPOCHS + 1
+    cfg.TEST.NO_TEST = True
+    cfg.TRAIN.PRINT_FREQ = 10 ** 9
+    cfg.freeze()
+
+    trainer = build_trainer(cfg)
+    n_imgs = len(trainer.dm.dataset.train_x)
+
+    # epoch 0: compile + cold decode
+    trainer.epoch = 0
+    t0 = time.time()
+    trainer.run_epoch()
+    print(f"# epoch0 (compile+decode): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    steps = len(trainer.train_loader_x)
+    t0 = time.time()
+    for e in range(1, EPOCHS + 1):
+        trainer.epoch = e
+        trainer.run_epoch()
+    # force completion of the last dispatched step
+    jax.tree.map(lambda x: x.block_until_ready(), trainer.params)
+    dt = time.time() - t0
+    imgs = steps * BATCH * EPOCHS
+    print(
+        json.dumps(
+            {
+                "metric": f"PromptSRC {ARCH} end-to-end train loop (input+aug+step)",
+                "value": round(imgs / dt, 2),
+                "unit": "images/sec/chip",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
