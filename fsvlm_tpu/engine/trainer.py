@@ -360,13 +360,44 @@ class SimpleTrainer:
         return self.start_epoch
 
     def _coerce_params(self, loaded):
-        """Align a loaded state dict with the live params structure, dropping
-        stale leaves (the reference deletes token_prefix/suffix on load so
-        base-trained prompts apply to new class sets — here class-dependent
-        buffers live in ``frozen`` and never enter checkpoints, coop.py:
-        488-510 equivalent)."""
-        live_flat = jax.tree.structure(self.params)
-        return jax.tree.unflatten(live_flat, jax.tree.leaves(loaded))
+        """Align a loaded state dict with the live params structure.
+
+        Name-aware recursive merge with shape-mismatch skip (parity:
+        load_pretrained_weights, dassl torchtools.py:267-314).  Keys absent
+        from the checkpoint keep their live values; class-dependent buffers
+        never enter checkpoints in the first place (they live in ``frozen``),
+        which is the analog of the reference deleting token_prefix/suffix on
+        load (coop.py:488-510)."""
+
+        def merge(live, ckpt, path):
+            if isinstance(live, dict):
+                if not isinstance(ckpt, dict):
+                    print(f"Warning: checkpoint subtree mismatch at {path}; keeping live")
+                    return live
+                out = {}
+                for k, v in live.items():
+                    if k in ckpt:
+                        out[k] = merge(v, ckpt[k], f"{path}/{k}")
+                    else:
+                        print(f"Warning: {path}/{k} missing from checkpoint; keeping init")
+                        out[k] = v
+                return out
+            if isinstance(live, (tuple, list)):
+                if not isinstance(ckpt, (tuple, list)) or len(ckpt) != len(live):
+                    print(f"Warning: checkpoint subtree mismatch at {path}; keeping live")
+                    return live
+                merged = [merge(a, b, f"{path}[{i}]") for i, (a, b) in enumerate(zip(live, ckpt))]
+                return type(live)(merged)
+            arr = jnp.asarray(ckpt)
+            if hasattr(live, "shape") and arr.shape != live.shape:
+                print(
+                    f"Warning: shape mismatch at {path} "
+                    f"({arr.shape} vs {live.shape}); keeping init"
+                )
+                return live
+            return arr.astype(live.dtype) if hasattr(live, "dtype") else arr
+
+        return merge(self.params, loaded, "")
 
     def load_model(self, directory, epoch=None):
         if not directory:
