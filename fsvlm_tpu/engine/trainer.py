@@ -127,7 +127,6 @@ class SimpleTrainer:
                 batch = dict(batch, img=imgs)
                 return inner(params, frozen, batch, k_rest)
 
-            self._device_aug_loss_fn = loss_fn
         tx = self.tx
 
         @partial(jax.jit, donate_argnums=(0, 1))
