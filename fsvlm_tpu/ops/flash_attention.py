@@ -10,10 +10,10 @@ one program per (batch*head) with the full L×L tile is the right shape: at
 L≤256, d=64 the working set is ≤0.5 MB — far under the ~16 MB VMEM budget —
 and both matmuls are MXU-shaped (multiples of 128 after padding).
 
-Differentiation: forward runs the kernel; the backward pass recomputes
-standard attention with plain jnp ops under a custom_vjp (the towers are
-frozen in every prompt-learning mode, so the backward attention path is
-exercised only through the prompt/LoRA gradients).
+Differentiation: both directions are Pallas kernels.  The backward kernel
+recomputes the (L, L) probabilities in VMEM (flash-attention style — no
+residual softmax storage) and emits dq/dk/dv via the softmax-Jacobian
+contraction; at CLIP's sequence lengths everything stays in one VMEM tile.
 """
 
 import functools
@@ -100,20 +100,91 @@ def _fused_attention_fwd_impl(q, k, v, mask, interpret):
     return out.reshape(B, H, Lp, dp)[:, :, :L, :d]
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    # recompute the probabilities (cheaper than storing (L, L) residuals)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale + mask_ref[...]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 (Lp, Lp)
+
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    # dv = p^T g
+    dv_ref[0] = jax.lax.dot_general(
+        p, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    # dp = g v^T ; softmax jacobian: ds = p * (dp - rowsum(dp * p))
+    dp = jax.lax.dot_general(
+        g32, v32, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # dq = ds k * scale ; dk = ds^T q * scale
+    dq_ref[0] = (
+        jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = (
+        jax.lax.dot_general(
+            ds, q.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dk_ref.dtype)
+
+
 def _fwd(q, k, v, mask, interpret):
     return _fused_attention_fwd_impl(q, k, v, mask, interpret), (q, k, v, mask)
 
 
 def _bwd(interpret, residuals, g):
     q, k, v, mask = residuals
-    scale = q.shape[-1] ** -0.5
+    B, H, L, d = q.shape
+    scale = d ** -0.5
+    Lp = max(_round_up(L, 128), 128)
+    dp_ = max(_round_up(d, 128), 128)
 
-    def ref(q, k, v):
-        return _reference_attention(q, k, v, mask, scale)
+    full_mask = np.zeros((Lp, Lp), np.float32)
+    if L < Lp:
+        full_mask[:, L:] = -1e30
+    full_mask = jnp.asarray(full_mask)
+    if mask is not None:
+        full_mask = full_mask.at[:L, :L].add(mask.astype(jnp.float32))
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    def pad(t):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, dp_ - d))).reshape(
+            B * H, Lp, dp_
+        )
+
+    spec = pl.BlockSpec((1, Lp, dp_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(B * H,),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((Lp, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Lp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Lp, dp_), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Lp, dp_), v.dtype),
+        ),
+        interpret=interpret,
+    )(pad(q), pad(k), pad(v), pad(g), full_mask)
+
+    def unpad(t):
+        return t.reshape(B, H, Lp, dp_)[:, :, :L, :d]
+
+    return unpad(dq), unpad(dk), unpad(dv), None
 
 
 fused_attention.defvjp(_fwd, _bwd)
