@@ -190,9 +190,19 @@ def _bwd(interpret, residuals, g):
 fused_attention.defvjp(_fwd, _bwd)
 
 
+import os as _os
+
+
 def attention_dispatch(q, k, v, mask=None):
-    """Pick the fused kernel on TPU, the XLA path elsewhere."""
-    if jax.default_backend() in ("tpu", "axon"):
+    """Pick the fused kernel on TPU, the XLA path elsewhere.
+
+    FSVLM_NO_PALLAS=1 forces the XLA path (escape hatch for toolchain
+    issues); FSVLM_FORCE_PALLAS=1 forces the kernel in interpret mode off-TPU
+    (testing)."""
+    if _os.environ.get("FSVLM_FORCE_PALLAS") == "1":
+        return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and _os.environ.get("FSVLM_NO_PALLAS") != "1":
         return fused_attention(q, k, v, mask)
     scale = q.shape[-1] ** -0.5
     return _reference_attention(q, k, v, mask, scale)
