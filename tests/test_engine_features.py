@@ -67,3 +67,16 @@ def test_nan_guard(tmp_path):
     t._compile_steps()
     with pytest.raises(FloatingPointError):
         t.train()
+
+
+def test_tensorboard_events_written(tmp_path):
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 1, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    tb_dir = os.path.join(cfg.OUTPUT_DIR, "tensorboard")
+    if t._writer is None or not os.path.isdir(tb_dir):
+        import pytest
+
+        pytest.skip("tensorflow not available for TB writing")
+    assert any(f.startswith("events") for f in os.listdir(tb_dir))
