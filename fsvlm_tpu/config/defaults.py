@@ -85,6 +85,9 @@ def get_cfg_default():
     # ------------------------------------------------------------------ model
     _C.MODEL = CN()
     _C.MODEL.INIT_WEIGHTS = ""
+    # TPU extension: trim prompt sequences to the last EOT (exact under the
+    # causal mask; ~4x fewer text-tower FLOPs for typical class names)
+    _C.MODEL.TEXT_TRUNCATE = True
     _C.MODEL.BACKBONE = CN()
     _C.MODEL.BACKBONE.NAME = ""
     _C.MODEL.BACKBONE.PRETRAINED = True

@@ -119,8 +119,12 @@ def encode_text_embeds(
       reference, trainers/coop.py:186-205).
     """
     t = params["text"]
-    x = embeds.astype(compute_dtype) + t["positional_embedding"].astype(compute_dtype)
-    mask = causal_mask(x.shape[1])
+    # embeds may be EOT-truncated (< context_length): with the causal mask,
+    # positions past the last EOT cannot influence any gathered feature, so
+    # dropping them is exact (see trainers/prompts.py truncation)
+    L = embeds.shape[1]
+    x = embeds.astype(compute_dtype) + t["positional_embedding"][:L].astype(compute_dtype)
+    mask = causal_mask(L)
     x = transformer(
         t["blocks"],
         x,

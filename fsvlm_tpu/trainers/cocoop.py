@@ -59,6 +59,7 @@ class CoCoOp(SimpleTrainer):
             class_token_position="end",
             rng=rng,
             context_length=clip_cfg.context_length,
+            truncate=bool(cfg.MODEL.TEXT_TRUNCATE),
         )
         print(f'Initial context: "{pc["prompt_prefix"]}"')
 

@@ -54,6 +54,7 @@ class CoOp(SimpleTrainer):
             csc=tc.CSC,
             rng=np.random.RandomState(max(cfg.SEED, 0)),
             context_length=clip_cfg.context_length,
+            truncate=bool(cfg.MODEL.TEXT_TRUNCATE),
         )
         print(f'Initial context: "{pc["prompt_prefix"]}"')
         print(f'Number of context words (tokens): {pc["n_ctx"]}')

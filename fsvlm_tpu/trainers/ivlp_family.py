@@ -120,6 +120,7 @@ def build_vlp_frozen(cfg, cfg_node, clip_params, clip_cfg, classnames, seed):
         rng=np.random.RandomState(max(seed, 0)),
         context_length=clip_cfg.context_length,
         init_keep_n_ctx=True,
+        truncate=bool(cfg.MODEL.TEXT_TRUNCATE),
     )
     print("Independent V-L design")
     print(f'Initial text context: "{pc["prompt_prefix"]}"')

@@ -62,6 +62,7 @@ class MaPLe(SimpleTrainer):
             rng=rng,
             context_length=clip_cfg.context_length,
             init_keep_n_ctx=True,
+            truncate=bool(cfg.MODEL.TEXT_TRUNCATE),
         )
         print("MaPLe design: Multi-modal Prompt Learning")
         print(f'Initial context: "{pc["prompt_prefix"]}"')

@@ -55,6 +55,7 @@ class PLIP(SimpleTrainer):
             rng=rng,
             context_length=clip_cfg.context_length,
             init_keep_n_ctx=True,
+            truncate=bool(cfg.MODEL.TEXT_TRUNCATE),
         )
         print(f'Initial context: "{pc["prompt_prefix"]}"')
         print("K:", node.K)
