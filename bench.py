@@ -151,14 +151,17 @@ def main():
         learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
     _ = float(loss)
 
-    # each step's loss is fetched to the host: every timed step must have
-    # fully executed on-chip (block_until_ready alone has proven unreliable
-    # through the axon tunnel)
+    # Host fetches force on-chip completion (block_until_ready alone has
+    # proven unreliable through the axon tunnel).  Steps chain through the
+    # donated params, so fetching every FETCH_EVERY-th loss still bounds all
+    # preceding steps while amortizing the tunnel round-trip.
+    fetch_every = max(1, int(os.environ.get("BENCH_FETCH_EVERY", "10")))
     t0 = time.time()
     losses = []
-    for _ in range(STEPS):
+    for i in range(STEPS):
         learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
-        losses.append(float(loss))
+        if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
+            losses.append(float(loss))
     dt = time.time() - t0
     assert all(np.isfinite(l) for l in losses), "non-finite loss in bench"
 
