@@ -136,15 +136,57 @@ def main():
         )
         return loss
 
-    @jax.jit
-    def train_step(learnable, opt_state, frozen, images, labels):
+    def _step(learnable, opt_state, frozen, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(learnable, frozen, images, labels)
         updates, opt_state = tx.update(grads, opt_state, learnable)
         learnable = optax.apply_updates(learnable, updates)
         return learnable, opt_state, loss
 
+    train_step = jax.jit(_step)
+
+    # BENCH_SCAN=K wraps K optimizer steps in ONE dispatch (lax.scan): the
+    # measurement then excludes the per-call dispatch RTT through the axon
+    # relay and reads pure on-chip step time.
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_k:
+        @jax.jit
+        def train_many(learnable, opt_state, frozen, images, labels):
+            def body(carry, _):
+                l, o = carry
+                l, o, loss = _step(l, o, frozen, images, labels)
+                return (l, o), loss
+
+            (l, o), losses = jax.lax.scan(
+                body, (learnable, opt_state), None, length=scan_k
+            )
+            return l, o, losses[-1]
+
     images = jnp.asarray(rng.randn(BATCH, clip_cfg.image_resolution, clip_cfg.image_resolution, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, N_CLASSES, BATCH).astype(np.int32))
+
+    if scan_k:
+        learnable, opt_state, loss = train_many(learnable, opt_state, frozen, images, labels)
+        _ = float(loss)
+        t0 = time.time()
+        n_calls = max(1, STEPS // scan_k)
+        for _ in range(n_calls):
+            learnable, opt_state, loss = train_many(
+                learnable, opt_state, frozen, images, labels
+            )
+            assert np.isfinite(float(loss))
+        dt = time.time() - t0
+        imgs_per_sec = BATCH * scan_k * n_calls / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"PromptSRC {ARCH} train-step throughput (one chip, {scan_k}-step scan)",
+                    "value": round(imgs_per_sec, 2),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),
+                }
+            )
+        )
+        return
 
     # warmup / compile
     for _ in range(3):
