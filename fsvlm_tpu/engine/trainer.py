@@ -198,11 +198,23 @@ class SimpleTrainer:
         num_batches = len(self.train_loader_x)
         pending = []  # (batch_idx, device metrics) fetched at print frequency
 
+        def device_batches():
+            """H2D one batch ahead so the transfer overlaps the previous
+            step's compute."""
+            ahead = None
+            for batch in self.train_loader_x:
+                cur = self.parse_batch_train(batch)
+                if ahead is not None:
+                    yield ahead
+                ahead = cur
+            if ahead is not None:
+                yield ahead
+
         end = time.time()
-        for batch_idx, batch in enumerate(self.train_loader_x):
+        for batch_idx, device_batch in enumerate(device_batches()):
             data_time.update(time.time() - end)
             self.batch_idx = batch_idx
-            metrics = self.forward_backward(batch)
+            metrics = self.forward_backward_device(device_batch)
             pending.append((batch_idx, metrics))
             batch_time.update(time.time() - end)
 
@@ -237,7 +249,9 @@ class SimpleTrainer:
             end = time.time()
 
     def forward_backward(self, batch):
-        device_batch = self.parse_batch_train(batch)
+        return self.forward_backward_device(self.parse_batch_train(batch))
+
+    def forward_backward_device(self, device_batch):
         self.rng_key, step_key = jax.random.split(self.rng_key)
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, self.frozen, device_batch, step_key
