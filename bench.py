@@ -22,6 +22,7 @@ ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
 
@@ -84,7 +85,8 @@ def main():
     params = random_clip_params(clip_cfg, seed=0)
     classnames = [f"class {i}" for i in range(N_CLASSES)]
     pc = build_prompt_context(
-        params, classnames, n_ctx=4, ctx_init="a photo of a", init_keep_n_ctx=True
+        params, classnames, n_ctx=4, ctx_init="a photo of a", init_keep_n_ctx=True,
+        truncate=True,  # framework default: exact EOT truncation
     )
     rng = np.random.RandomState(0)
 
@@ -116,9 +118,9 @@ def main():
 
     def loss_fn(learnable, frozen, images, labels):
         scale = jnp.exp(frozen["clip"]["logit_scale"])
-        txf = l2_normalize(vlp_text_features(learnable, frozen, clip_cfg, dtype))
+        txf = l2_normalize(vlp_text_features(learnable, frozen, clip_cfg, dtype, remat=REMAT))
         imf = l2_normalize(
-            vlp_image_features(learnable, frozen, clip_cfg, images, dtype)
+            vlp_image_features(learnable, frozen, clip_cfg, images, dtype, remat=REMAT)
         )
         logits = scale * imf @ txf.T
         zs_img = jax.lax.stop_gradient(
