@@ -185,6 +185,13 @@ def get_cfg_default():
     # chosen to match upstream PromptSRC behavior
     _C.TRAINER.PROMPTSRC.USE_GPA = True
     _C.TRAINER.PROMPTSRC.LOGITS_LOSS_WEIGHT = 1.0
+    # TPU extension ("fast SCL"): precompute the frozen teacher's image
+    # features once over the deterministic (un-augmented) train images and
+    # look them up per step instead of running the teacher tower on every
+    # augmented batch — removes ~25% of the step FLOPs.  Semantics
+    # deliberately differ from the reference (teacher sees the clean image);
+    # off by default.
+    _C.TRAINER.PROMPTSRC.CACHED_TEACHER = False
 
     _C.TRAINER.IVLP = CN()
     _C.TRAINER.IVLP.N_CTX_VISION = 2

@@ -57,6 +57,10 @@ class PromptSRC(IVLP):
         teacher_txt = encode_text_ids(clip_params, clip_cfg, ids)
         self.frozen["zs_text"] = l2_normalize(teacher_txt)
 
+        cached_teacher = bool(node.get("CACHED_TEACHER", False))
+        if cached_teacher:
+            self.frozen["zs_img_cache"] = self._build_teacher_cache(clip_params, clip_cfg)
+
         self.loss_type = node.LOSS_TYPE
         alpha = None
         if self.loss_type == "focal" and len(cfg.DATASET.PER_CLASS_SHOTS) > 0:
@@ -82,10 +86,15 @@ class PromptSRC(IVLP):
             )
             logits = logit_scale * imf @ txf.T
 
-            # frozen-CLIP teacher pass (no gradients)
-            zs_img = jax.lax.stop_gradient(
-                l2_normalize(vlp_image_features({}, frozen, clip_cfg_, images, dtype))
-            )
+            if cached_teacher:
+                # "fast SCL": precomputed clean-image teacher features
+                zs_img = frozen["zs_img_cache"][batch["index"]]
+            else:
+                # frozen-CLIP teacher pass on the augmented batch (reference
+                # semantics, promptsrc.py:198-201)
+                zs_img = jax.lax.stop_gradient(
+                    l2_normalize(vlp_image_features({}, frozen, clip_cfg_, images, dtype))
+                )
             zs_logits = logit_scale * zs_img @ frozen["zs_text"].T
 
             if loss_type == "focal":
@@ -130,6 +139,39 @@ class PromptSRC(IVLP):
         )
         self.gauss = gauss / gauss.sum()
         self.gpa_params = None
+
+    def _build_teacher_cache(self, clip_params, clip_cfg):
+        """Frozen-teacher image features over the deterministic eval-transform
+        view of every train item, indexed by dataset position."""
+        import jax as _jax
+
+        from ..data.loader import BatchLoader, DatasetWrapper
+        from ..data.samplers import SequentialSampler
+        from ..data.transforms import TestTransform
+
+        data = self.dm.dataset.train_x
+        wrapper = DatasetWrapper(data, TestTransform(self.cfg), cache_decoded=False)
+        loader = BatchLoader(
+            wrapper,
+            SequentialSampler(data),
+            batch_size=min(64, max(1, len(data))),
+            num_threads=max(1, self.cfg.DATALOADER.NUM_WORKERS),
+        )
+        dtype = self.compute_dtype()
+        feats_fn = _jax.jit(
+            lambda imgs: l2_normalize(
+                vlp_image_features({}, {"clip": clip_params}, clip_cfg, imgs, dtype)
+            )
+        )
+        import numpy as np
+
+        cache = np.zeros((len(data), clip_cfg.embed_dim), np.float32)
+        for batch in loader:
+            f = np.asarray(feats_fn(batch["img"]))
+            idx = batch["index"][batch["valid"]]
+            cache[idx] = f[batch["valid"]]
+        print(f"[PromptSRC] cached teacher image features: {cache.shape}")
+        return jnp.asarray(cache)
 
     def after_epoch(self):
         if self.use_gpa:

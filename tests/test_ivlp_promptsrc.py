@@ -113,3 +113,27 @@ def test_promptsrc_base_to_new_transfer(tmp_path):
     t2.load_model(cfg.OUTPUT_DIR, epoch=3)
     acc = t2.test()
     assert acc >= 0.0  # protocol runs end-to-end
+
+
+def test_promptsrc_cached_teacher(tmp_path):
+    """The fast-SCL extension: precomputed clean-image teacher features
+    replace the per-step teacher tower; training still works end-to-end."""
+    cfg = ivlp_cfg(
+        tmp_path,
+        trainer="PromptSRC",
+        **{
+            "TRAINER.PROMPTSRC.CACHED_TEACHER": True,
+            "TRAINER.PROMPTSRC.TEXT_LOSS_WEIGHT": 1.0,
+            "TRAINER.PROMPTSRC.IMAGE_LOSS_WEIGHT": 0.5,
+            "OPTIM.MAX_EPOCH": 4,
+            "TEST.NO_TEST": True,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    n_train = len(t.dm.dataset.train_x)
+    assert t.frozen["zs_img_cache"].shape == (n_train, t.clip_cfg.embed_dim)
+    # features are L2-normalized
+    norms = np.linalg.norm(np.asarray(t.frozen["zs_img_cache"]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    t.train()
