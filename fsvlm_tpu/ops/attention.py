@@ -56,7 +56,7 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
         return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
     if lora_delta is not None:
-        for name, arr in zip(("q", "k", "v"), (q, k, v)):
+        for name in ("q", "k", "v"):
             if name in lora_delta:
                 a, b_, scale = lora_delta[name]
                 xin = lora_input(name)
