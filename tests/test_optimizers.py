@@ -33,3 +33,22 @@ def test_unknown_optimizer_rejected():
     cfg.OPTIM.NAME = "sophia"
     with pytest.raises(ValueError, match="Unknown OPTIM.NAME"):
         build_optimizer(cfg, 1)
+
+
+def test_distance_helpers():
+    import numpy as np
+
+    from fsvlm_tpu.engine.distance import compute_distance_matrix
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 8).astype(np.float32)
+    y = rng.randn(7, 8).astype(np.float32)
+
+    d = np.asarray(compute_distance_matrix(jnp.asarray(x), jnp.asarray(y), "euclidean"))
+    expected = np.linalg.norm(x[:, None] - y[None, :], axis=-1)
+    np.testing.assert_allclose(d, expected, rtol=1e-4, atol=1e-5)
+
+    c = np.asarray(compute_distance_matrix(jnp.asarray(x), jnp.asarray(y), "cosine"))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+    np.testing.assert_allclose(c, 1 - xn @ yn.T, rtol=1e-5, atol=1e-6)
