@@ -49,6 +49,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
 
 
 def _reference_attention(q, k, v, mask, scale):
+    """mask may be (L, L) shared-additive or any shape broadcastable to
+    (B, H, L, L) — e.g. (B, 1, 1, L) per-example key bias."""
     # In bf16 compute mode the (B, H, L, L) score/prob intermediates stay
     # bf16 (halves their HBM traffic; measured +22% step throughput on the
     # PromptSRC ViT-B/16 step).  Scores for CLIP layers are O(±30), well
