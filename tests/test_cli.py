@@ -62,3 +62,24 @@ def test_cli_promptsrc_synthetic(tmp_path):
     )
     assert result.returncode == 0
     assert "* accuracy:" in result.stdout
+
+
+def test_cli_coop_simclr_override(tmp_path):
+    """LOSS_TYPE simclr triggers the two-view loader override in the CLI
+    (reference train.py:296-321 behavior)."""
+    out_dir = str(tmp_path / "out")
+    stdout = run_cli(
+        [
+            "--trainer", "CoOp",
+            "--seed", "1",
+            "--dataset-config-file", "configs/datasets/synthetic.yaml",
+            "--config-file", "configs/trainers/tests/synthetic_tiny.yaml",
+            "--output-dir", out_dir,
+            "TRAINER.COOP.LOSS_TYPE", "simclr",
+            "OPTIM.MAX_EPOCH", "2",
+            "TEST.NO_TEST", "True",
+        ],
+        out_dir,
+    )
+    assert "overriding train_loader_x with a two-view loader" in stdout
+    assert "Finish training" in stdout

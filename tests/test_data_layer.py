@@ -119,3 +119,17 @@ def test_base_to_new_protocol_on_synthetic():
     dm = DataManager(cfg)
     assert dm.num_classes == 4
     assert all(it.classname.endswith(("4", "5", "6", "7")) for it in dm.dataset.test)
+
+
+def test_random_class_sampler_batches():
+    from fsvlm_tpu.data.samplers import RandomClassSampler
+
+    items = make_items([12, 12, 12, 12])
+    sampler = RandomClassSampler(items, batch_size=8, n_ins=4, seed=0)
+    idxs = list(iter(sampler))
+    assert len(idxs) % 8 == 0 and len(idxs) > 0
+    # every batch holds n_cls=2 classes x n_ins=4 instances
+    for start in range(0, len(idxs), 8):
+        chunk = [items[i].label for i in idxs[start : start + 8]]
+        labels, counts = np.unique(chunk, return_counts=True)
+        assert len(labels) == 2 and all(c == 4 for c in counts), chunk
