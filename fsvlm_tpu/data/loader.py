@@ -213,11 +213,14 @@ class BatchLoader:
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        failure = []
 
         def producer():
             try:
                 for chunk in self._index_batches():
                     q.put(self._collate(chunk))
+            except BaseException as e:  # surface in the consumer, never drop data silently
+                failure.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -226,5 +229,7 @@ class BatchLoader:
         while True:
             batch = q.get()
             if batch is SENTINEL:
+                if failure:
+                    raise RuntimeError("data loader producer failed") from failure[0]
                 break
             yield batch

@@ -133,3 +133,20 @@ def test_random_class_sampler_batches():
         chunk = [items[i].label for i in idxs[start : start + 8]]
         labels, counts = np.unique(chunk, return_counts=True)
         assert len(labels) == 2 and all(c == 4 for c in counts), chunk
+
+
+def test_loader_propagates_decode_errors():
+    from fsvlm_tpu.data.loader import BatchLoader, DatasetWrapper
+    from fsvlm_tpu.data.samplers import SequentialSampler
+    from fsvlm_tpu.data.transforms import TestTransform
+    from fsvlm_tpu.config import get_cfg_default
+
+    items = [Datum(impath="/nonexistent/file.jpg", label=0, classname="x")]
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (16, 16)
+    wrapper = DatasetWrapper(items, TestTransform(cfg))
+    loader = BatchLoader(wrapper, SequentialSampler(items), batch_size=1)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(iter(loader))
