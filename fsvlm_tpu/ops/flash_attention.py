@@ -205,30 +205,21 @@ fused_attention.defvjp(_fwd, _bwd)
 
 import os as _os
 
-# Below this sequence length XLA's fused attention wins on v5e: measured on
-# the PromptSRC ViT-B/16 train step (L=201/77), XLA 529 img/s vs this kernel
-# 417 img/s — the d=64 -> 128 lane padding doubles both matmuls and the
-# per-(batch, head) grid leaves the MXU underfed.  The kernel earns its keep
-# once L² no longer fits the XLA fusion (long sequences), which CLIP never
-# reaches; it stays available for FSVLM_FORCE_PALLAS=1 and future
-# long-context variants (SURVEY.md §5.7).
-PALLAS_MIN_SEQ_LEN = 512
+# Measured on v5e through this environment: XLA's fused attention beats this
+# kernel at every relevant shape — PromptSRC step L=201/77: XLA 529 vs 417
+# img/s; isolated L=1024 d=64 bf16: XLA 1.8 ms vs 24 ms (the d=64 -> 128
+# lane padding doubles both matmuls, the per-(batch, head) whole-sequence
+# grid neither pipelines HBM->VMEM nor tiles the L² working set).  "Don't
+# hand-schedule what the compiler already does": XLA is the default
+# everywhere; the kernel remains a correctness-tested scaffold (forward +
+# backward parity tests incl. on-chip) for a future blockwise/pipelined
+# implementation, reachable via FSVLM_FORCE_PALLAS=1.
 
 
 def attention_dispatch(q, k, v, mask=None):
-    """XLA fused attention for CLIP-scale sequences; the Pallas kernel for
-    long sequences or when forced.
-
-    FSVLM_NO_PALLAS=1 always forces the XLA path; FSVLM_FORCE_PALLAS=1
-    forces the kernel (interpret mode off-TPU, for testing)."""
+    """XLA fused attention by default; FSVLM_FORCE_PALLAS=1 forces the
+    Pallas kernel (interpret mode off-TPU, for testing)."""
     if _os.environ.get("FSVLM_FORCE_PALLAS") == "1":
         return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if (
-        on_tpu
-        and q.shape[2] >= PALLAS_MIN_SEQ_LEN
-        and _os.environ.get("FSVLM_NO_PALLAS") != "1"
-    ):
-        return fused_attention(q, k, v, mask)
     scale = q.shape[-1] ** -0.5
     return _reference_attention(q, k, v, mask, scale)
