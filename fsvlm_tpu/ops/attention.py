@@ -60,7 +60,9 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
             if name in lora_delta:
                 a, b_, scale = lora_delta[name]
                 xin = lora_input(name)
-                delta = (xin @ a.astype(x.dtype)) @ b_.astype(x.dtype) * scale
+                # keep the carry dtype: the (traced f32) scale must not
+                # promote bf16 activations
+                delta = ((xin @ a.astype(x.dtype)) @ b_.astype(x.dtype) * scale).astype(x.dtype)
                 if name == "q":
                     q = q + delta
                 elif name == "k":
@@ -93,7 +95,7 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
                 pkey = jax.random.fold_in(key, 3)
                 keep = jax.random.bernoulli(pkey, 1.0 - rate, ctx.shape)
                 ctx_in = jnp.where(keep, ctx / (1.0 - rate), 0.0).astype(ctx.dtype)
-        out = out + (ctx_in @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o
+        out = out + ((ctx_in @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o).astype(out.dtype)
     return out
 
 
