@@ -1,0 +1,25 @@
+# Developer entry points
+.PHONY: test bench smoke native dryrun clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+# end-to-end CLI smoke on synthetic data (runs anywhere, no assets needed)
+smoke:
+	python train.py --trainer CoOp --seed 1 \
+	    --dataset-config-file configs/datasets/synthetic.yaml \
+	    --config-file configs/trainers/tests/synthetic_tiny.yaml \
+	    --output-dir /tmp/fsvlm_smoke DATASET.NUM_SHOTS 16
+
+native:
+	$(MAKE) -C native
+
+dryrun:
+	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+clean:
+	rm -rf output /tmp/fsvlm_smoke
+	$(MAKE) -C native clean
