@@ -158,16 +158,20 @@ class PromptSRC(IVLP):
             num_threads=max(1, self.cfg.DATALOADER.NUM_WORKERS),
         )
         dtype = self.compute_dtype()
+        # params go in as a jit ARGUMENT — capturing them in the closure bakes
+        # the full tower into the HLO as constants (observed: the axon remote
+        # compiler rejects the oversized program with HTTP 413).
         feats_fn = _jax.jit(
-            lambda imgs: l2_normalize(
-                vlp_image_features({}, {"clip": clip_params}, clip_cfg, imgs, dtype)
+            lambda frozen, imgs: l2_normalize(
+                vlp_image_features({}, frozen, clip_cfg, imgs, dtype)
             )
         )
         import numpy as np
 
+        frozen = {"clip": clip_params}
         cache = np.zeros((len(data), clip_cfg.embed_dim), np.float32)
         for batch in loader:
-            f = np.asarray(feats_fn(batch["img"]))
+            f = np.asarray(feats_fn(frozen, batch["img"]))
             idx = batch["index"][batch["valid"]]
             cache[idx] = f[batch["valid"]]
         print(f"[PromptSRC] cached teacher image features: {cache.shape}")
