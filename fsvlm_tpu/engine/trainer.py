@@ -360,6 +360,8 @@ class SimpleTrainer:
     def resume_model_if_exist(self, directory):
         ckpt = resume_from_checkpoint(os.path.join(directory, self.model_name))
         if ckpt is None:
+            # parity: dassl torchtools.py:118-157 announces the fallback
+            print(f'No checkpoint found in "{directory}", train from scratch')
             return 0
         self.params = replicate(self._coerce_params(ckpt["state_dict"]), self.mesh)
         if ckpt.get("optimizer") is not None:

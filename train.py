@@ -180,7 +180,7 @@ def build_argparser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", type=str, default="", help="path to dataset root")
     parser.add_argument("--output-dir", type=str, default="", help="output directory")
-    parser.add_argument("--resume", type=str, default="", help="checkpoint directory to resume from")
+    parser.add_argument("--resume", type=str, default="", help="output directory of the run to resume (contains <model-name>/checkpoint)")
     parser.add_argument("--seed", type=int, default=-1, help="only positive value enables a fixed seed")
     parser.add_argument("--config-file", type=str, default="", help="path to trainer config file")
     parser.add_argument("--dataset-config-file", type=str, default="", help="path to dataset config file")
