@@ -37,6 +37,15 @@ def test_resume_from_pointer_file(tmp_path):
     assert start == 3  # picks up after the final saved epoch
 
 
+def test_resume_missing_checkpoint_announces_fallback(tmp_path, capsys):
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 1, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    start = t.resume_model_if_exist(str(tmp_path / "nonexistent"))
+    assert start == 0
+    assert "No checkpoint found" in capsys.readouterr().out
+
+
 def test_init_weights(tmp_path):
     cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 2, "TEST.NO_TEST": True})
     cfg.freeze()
