@@ -222,4 +222,17 @@ def attention_dispatch(q, k, v, mask=None):
     if _os.environ.get("FSVLM_FORCE_PALLAS") == "1":
         return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
     scale = q.shape[-1] ** -0.5
+    if _os.environ.get("FSVLM_ATTN_REMAT") == "1":
+        # Experiment: don't keep the (B, H, L, L) probs as a backward
+        # residual — recompute scores/softmax from q, k, v in the backward
+        # (flash-attention-style memory behavior, XLA matmuls).
+        if mask is None:
+            f = jax.checkpoint(
+                lambda q_, k_, v_: _reference_attention(q_, k_, v_, None, scale)
+            )
+            return f(q, k, v)
+        f = jax.checkpoint(
+            lambda q_, k_, v_, m_: _reference_attention(q_, k_, v_, m_, scale)
+        )
+        return f(q, k, v, mask)
     return _reference_attention(q, k, v, mask, scale)
