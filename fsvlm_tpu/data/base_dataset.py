@@ -72,6 +72,30 @@ class DatasetBase:
         return mapping, [mapping[l] for l in labels]
 
     @staticmethod
+    def download_data_from_gdrive(url, dst, extract=True):
+        """Download a dataset archive and optionally extract it next to dst.
+
+        Parity: DatasetBase.download_data / gdown+extract
+        (dassl base_dataset.py:136-165).  Requires the optional ``gdown``
+        package and network egress; environments without either get a
+        clear error pointing at the manual layout in docs/DATASETS.md.
+        """
+        try:
+            import gdown
+        except ImportError as e:
+            raise RuntimeError(
+                "automatic dataset download needs the optional 'gdown' "
+                "package (and network access); prepare the data manually "
+                "per docs/DATASETS.md instead"
+            ) from e
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        gdown.download(url, dst, quiet=False)
+        if extract:
+            import shutil
+
+            shutil.unpack_archive(dst, os.path.dirname(dst))
+
+    @staticmethod
     def split_dataset_by_label(data_source):
         out = defaultdict(list)
         for item in data_source:
