@@ -86,6 +86,10 @@ def main():
     parser.add_argument("--multi-exp", action="store_true",
                         help="directory contains multiple experiments, each with seed dirs")
     parser.add_argument("--keyword", default="accuracy", help="metric for the final average")
+    parser.add_argument("--test-log", action="store_true",
+                        help="accepted for reference-CLI compatibility; both "
+                        "'Finished training' and '=> result' end signals are "
+                        "always recognized here")
     args = parser.parse_args()
 
     if args.multi_exp:

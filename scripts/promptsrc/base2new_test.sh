@@ -11,7 +11,7 @@ SEED=$2
 
 CFG=vit_b16_c2_ep20_batch4_4+4ctx
 SHOTS=16
-LOADEP=20
+LOADEP=${LOADEP:-20}
 SUB=new
 
 COMMON_DIR=${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}

@@ -73,6 +73,16 @@ def setup_cfg(args):
     reset_cfg(cfg, args)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    # FSVLM_EXTRA_OPTS: space-separated KEY VALUE pairs appended after all
+    # CLI opts — lets the stock scripts/ drivers (which take positional
+    # dataset/seed args only, like the reference's) be re-pointed at other
+    # batch sizes / backbones / offline mode without editing them, e.g.
+    #   FSVLM_EXTRA_OPTS="MODEL.BACKBONE.PRETRAINED False" bash scripts/...
+    extra = os.environ.get("FSVLM_EXTRA_OPTS", "").strip()
+    if extra:
+        import shlex
+
+        cfg.merge_from_list(shlex.split(extra))
     cfg.freeze()
     return cfg
 
