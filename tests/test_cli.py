@@ -83,3 +83,31 @@ def test_cli_coop_simclr_override(tmp_path):
     )
     assert "overriding train_loader_x with a two-view loader" in stdout
     assert "Finish training" in stdout
+
+
+def test_cli_extra_opts_env(tmp_path):
+    """FSVLM_EXTRA_OPTS appends config overrides after CLI opts (how the
+    stock scripts/ drivers are re-targeted without edits)."""
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FSVLM_EXTRA_OPTS"] = "OPTIM.MAX_EPOCH 1 TEST.NO_TEST True"
+    result = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "train.py"),
+            "--trainer", "CoOp",
+            "--seed", "1",
+            "--dataset-config-file", "configs/datasets/synthetic.yaml",
+            "--config-file", "configs/trainers/tests/synthetic_tiny.yaml",
+            "--output-dir", out_dir,
+            "OPTIM.MAX_EPOCH", "5",  # env override must win (applied after)
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=env,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    assert "MAX_EPOCH: 1" in result.stdout
+    assert "Finish training" in result.stdout
