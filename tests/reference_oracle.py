@@ -56,6 +56,34 @@ def _stub_torchvision():
     sys.modules["torchvision.transforms"] = transforms
 
 
+def import_reference_lr_scheduler():
+    """Load dassl/optim/lr_scheduler.py standalone (it only needs torch) so
+    schedule tests can drive the REAL warmup-wrapper + successor pair."""
+    import importlib.util
+
+    import torch.optim.lr_scheduler as tls
+
+    path = os.path.join(
+        REFERENCE_ROOT, "Dassl.pytorch", "dassl", "optim", "lr_scheduler.py"
+    )
+    spec = importlib.util.spec_from_file_location("dassl_lr_scheduler", path)
+    mod = importlib.util.module_from_spec(spec)
+
+    # the reference targets torch 1.9 whose _LRScheduler took a positional
+    # `verbose`; torch >= 2.7 removed it — shim it back for the exec
+    class _Shim(tls.LRScheduler):
+        def __init__(self, optimizer, last_epoch=-1, verbose=False):
+            super().__init__(optimizer, last_epoch)
+
+    orig = tls._LRScheduler
+    tls._LRScheduler = _Shim
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        tls._LRScheduler = orig
+    return mod
+
+
 def import_reference_clip():
     """Returns the reference `clip` package (tokenizer + model builders)."""
     _stub_ftfy()

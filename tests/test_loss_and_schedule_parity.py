@@ -98,47 +98,64 @@ def test_kd_loss_matches_torch():
     assert abs(ours - expected) < 1e-4
 
 
-def test_cosine_schedule_matches_torch():
-    """dassl: CosineAnnealingLR stepped per epoch + 1-epoch constant warmup."""
-    cfg = get_cfg_default()
-    cfg.OPTIM.LR = 0.0025
-    cfg.OPTIM.MAX_EPOCH = 20
-    cfg.OPTIM.LR_SCHEDULER = "cosine"
-    cfg.OPTIM.WARMUP_EPOCH = 1
-    cfg.OPTIM.WARMUP_TYPE = "constant"
-    cfg.OPTIM.WARMUP_CONS_LR = 1e-5
+def _reference_lr_trace(cfg):
+    """Drive the REAL dassl scheduler stack (warmup wrapper + torch
+    successor, dassl/optim/lr_scheduler.py) exactly as the engine does —
+    one .step() after each epoch — and record the lr each epoch trains at."""
+    from reference_oracle import import_reference_lr_scheduler
 
-    sched = make_lr_schedule(cfg, steps_per_epoch=10)
-
-    # torch oracle
+    mod = import_reference_lr_scheduler()
     p = torch.nn.Parameter(torch.zeros(1))
-    opt = torch.optim.SGD([p], lr=0.0025)
-    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
-
-    # ConstantWarmupScheduler semantics: epoch 0 -> cons_lr; epoch e>=1 ->
-    # cosine stepped e times
-    expected = [1e-5]
-    for e in range(1, 20):
-        cosine.step()
-        expected.append(opt.param_groups[0]["lr"])
-
-    got = [sched.lr_at_epoch(e) for e in range(20)]
-    np.testing.assert_allclose(got, expected, rtol=1e-6)
-
-    # step-indexed table agrees with epoch function
-    assert float(sched(0)) == pytest.approx(1e-5)
-    assert float(sched(10)) == pytest.approx(expected[1])
-    assert float(sched(199)) == pytest.approx(expected[19])
+    opt = torch.optim.SGD([p], lr=cfg.OPTIM.LR)
+    sched = mod.build_lr_scheduler(opt, cfg.OPTIM)
+    trace = []
+    for _ in range(cfg.OPTIM.MAX_EPOCH):
+        trace.append(opt.param_groups[0]["lr"])
+        sched.step()
+    return trace
 
 
-def test_multi_step_schedule():
+def _schedule_cfg(**kw):
     cfg = get_cfg_default()
-    cfg.OPTIM.LR = 0.1
-    cfg.OPTIM.MAX_EPOCH = 10
-    cfg.OPTIM.LR_SCHEDULER = "multi_step"
-    cfg.OPTIM.STEPSIZE = (4, 7)
-    cfg.OPTIM.GAMMA = 0.1
-    cfg.OPTIM.WARMUP_EPOCH = -1
-    sched = make_lr_schedule(cfg, steps_per_epoch=1)
-    got = [round(sched.lr_at_epoch(e), 8) for e in range(10)]
-    assert got == [0.1] * 4 + [0.01] * 3 + [0.001] * 3
+    for k, v in kw.items():
+        setattr(cfg.OPTIM, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        # PromptSRC/MaPLe-style: cosine + 1-epoch constant warmup.  With
+        # WARMUP_RECOUNT=True (the dassl default) epoch e>=1 trains at
+        # cosine(e-1): the first post-warmup epoch runs at the FULL base lr.
+        dict(LR=0.0025, MAX_EPOCH=20, LR_SCHEDULER="cosine",
+             WARMUP_EPOCH=1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5),
+        # short schedule (MaPLe ep5) where the off-by-one bites hardest
+        dict(LR=0.0035, MAX_EPOCH=5, LR_SCHEDULER="cosine",
+             WARMUP_EPOCH=1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5),
+        # linear warmup over 3 epochs + cosine
+        dict(LR=0.002, MAX_EPOCH=12, LR_SCHEDULER="cosine",
+             WARMUP_EPOCH=3, WARMUP_TYPE="linear", WARMUP_MIN_LR=1e-6),
+        # multi_step with warmup: milestones count post-warmup epochs
+        dict(LR=0.1, MAX_EPOCH=12, LR_SCHEDULER="multi_step",
+             STEPSIZE=(4, 7), GAMMA=0.1,
+             WARMUP_EPOCH=2, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5),
+        # single_step, no warmup; reference uses the LAST stepsize entry
+        dict(LR=0.05, MAX_EPOCH=10, LR_SCHEDULER="single_step",
+             STEPSIZE=(2, 3), GAMMA=0.5, WARMUP_EPOCH=-1),
+        # cosine, no warmup
+        dict(LR=0.01, MAX_EPOCH=8, LR_SCHEDULER="cosine", WARMUP_EPOCH=-1),
+    ],
+)
+def test_schedule_matches_reference_scheduler(kw):
+    cfg = _schedule_cfg(**kw)
+    expected = _reference_lr_trace(cfg)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    got = [sched.lr_at_epoch(e) for e in range(cfg.OPTIM.MAX_EPOCH)]
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-12)
+
+    # step-indexed table agrees with the epoch function
+    assert float(sched(0)) == pytest.approx(expected[0])
+    assert float(sched(10)) == pytest.approx(expected[1])
+    last = 10 * cfg.OPTIM.MAX_EPOCH - 1
+    assert float(sched(last)) == pytest.approx(expected[-1])
