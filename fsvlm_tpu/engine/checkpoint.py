@@ -27,10 +27,15 @@ def save_checkpoint(state, save_dir, is_best=False, model_name=""):
     mkdir_if_missing(save_dir)
     state = dict(state)
     state["state_dict"] = _to_numpy_tree(state["state_dict"])
-    if state.get("optimizer") is not None:
-        state["optimizer"] = _to_numpy_tree(state["optimizer"])
+    for key in ("optimizer", "extra"):
+        if state.get(key) is not None:
+            state[key] = _to_numpy_tree(state[key])
 
     epoch = state["epoch"]
+    # only regular epoch saves advance the resume pointer: a crash after a
+    # best-val save must resume from the LATEST epoch, not the best one
+    # (which would replay epochs and corrupt the epoch count)
+    update_pointer = not model_name
     if not model_name:
         model_name = f"model.pkl-{epoch}"
     fpath = os.path.join(save_dir, model_name)
@@ -38,9 +43,10 @@ def save_checkpoint(state, save_dir, is_best=False, model_name=""):
         pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
     print(f"Checkpoint saved to {fpath}")
 
-    # pointer file consumed by resume_from_checkpoint
-    with open(os.path.join(save_dir, "checkpoint"), "w") as f:
-        f.write(os.path.basename(fpath))
+    if update_pointer:
+        # pointer file consumed by resume_from_checkpoint
+        with open(os.path.join(save_dir, "checkpoint"), "w") as f:
+            f.write(os.path.basename(fpath))
 
     if is_best:
         shutil.copy(fpath, os.path.join(save_dir, "model-best.pkl"))

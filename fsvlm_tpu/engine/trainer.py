@@ -345,6 +345,20 @@ class SimpleTrainer:
     def get_model_names(self):
         return [self.model_name]
 
+    def extra_state(self):
+        """Trainer state beyond params/optimizer that a resume must restore
+        (rng stream, best-val tracker; subclasses add e.g. GPA accumulators)."""
+        return {
+            "rng_key": np.asarray(self.rng_key),
+            "best_result": float(self.best_result),
+        }
+
+    def load_extra_state(self, state):
+        if state.get("rng_key") is not None:
+            self.rng_key = jnp.asarray(state["rng_key"])
+        if state.get("best_result") is not None:
+            self.best_result = float(state["best_result"])
+
     def save_model(self, epoch, directory, val_result=None, model_name=""):
         save_checkpoint(
             {
@@ -352,6 +366,7 @@ class SimpleTrainer:
                 "epoch": epoch + 1,
                 "optimizer": self.opt_state,
                 "val_result": val_result,
+                "extra": self.extra_state(),
             },
             os.path.join(directory, self.model_name),
             model_name=model_name,
@@ -371,6 +386,7 @@ class SimpleTrainer:
             )
             self.opt_state = replicate(opt_state, self.mesh)
         self.start_epoch = ckpt["epoch"]
+        self.load_extra_state(ckpt.get("extra") or {})
         print(f"Resumed from epoch {self.start_epoch}")
         return self.start_epoch
 

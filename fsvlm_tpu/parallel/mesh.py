@@ -31,9 +31,9 @@ def shard_batch(batch, mesh):
 
     Batch axes not divisible by the mesh size are padded by repeating the
     last row; the ``valid`` mask (when present) is extended with False so
-    padded rows never contribute to metrics.  (Losses average over padded
-    rows on the train path — train loaders use drop_last with
-    device-divisible batch sizes, so padding only arises at eval.)
+    padded rows never contribute — every train loss masks by batch['valid']
+    (trainers/losses.py), so e.g. a batch-4 config on an 8-device mesh
+    weights all four examples equally.
     """
     n = mesh.devices.size
     sharding = data_sharded(mesh)

@@ -19,7 +19,13 @@ import numpy as np
 from ..engine.trainer import TRAINER_REGISTRY, SimpleTrainer
 from ..models.clip import clip_logits, encode_image, encode_text_embeds, l2_normalize
 from .backbone import load_clip_backbone
-from .losses import cross_entropy, focal_alpha_from_shots, focal_loss, nt_xent
+from .losses import (
+    cross_entropy,
+    focal_alpha_from_shots,
+    focal_loss,
+    masked_acc,
+    nt_xent,
+)
 from .prompts import assemble_prompts, build_prompt_context
 
 
@@ -100,17 +106,20 @@ class CoOp(SimpleTrainer):
             return clip_logits(imf, txf, frozen["clip"]["logit_scale"])
 
         def loss_fn(params, frozen, batch, rng):
+            valid = batch.get("valid")
             if loss_type == "simclr":
                 logits1 = logits_of(params, frozen, batch["img"])
                 logits2 = logits_of(params, frozen, batch["img2"])
-                loss = nt_xent(logits1, logits2)
+                loss = nt_xent(logits1, logits2, valid=valid)
                 return loss, {}
             logits = logits_of(params, frozen, batch["img"])
             if loss_type == "focal":
-                loss = focal_loss(logits, batch["label"], alpha=frozen["alpha"])
+                loss = focal_loss(
+                    logits, batch["label"], alpha=frozen["alpha"], valid=valid
+                )
             else:
-                loss = cross_entropy(logits, batch["label"])
-            acc = (logits.argmax(-1) == batch["label"]).mean() * 100.0
+                loss = cross_entropy(logits, batch["label"], valid=valid)
+            acc = masked_acc(logits, batch["label"], valid)
             return loss, {"acc": acc}
 
         self.loss_fn = loss_fn

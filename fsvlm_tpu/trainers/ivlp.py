@@ -99,10 +99,10 @@ class IVLP(SimpleTrainer):
         use_mixup, mixup_alpha = self.use_mixup, self.mixup_alpha
         use_kd, kd_alpha, kd_T = self.use_kd, self.kd_alpha, self.kd_T
 
-        def hard_loss(logits, labels, frozen):
+        def hard_loss(logits, labels, frozen, valid=None):
             if use_focal:
-                return focal_loss(logits, labels, alpha=frozen["alpha"])
-            return cross_entropy(logits, labels)
+                return focal_loss(logits, labels, alpha=frozen["alpha"], valid=valid)
+            return cross_entropy(logits, labels, valid=valid)
 
         def logits_of(params, frozen, images):
             imf = vlp_image_features(params, frozen, clip_cfg_, images, dtype)
@@ -111,6 +111,7 @@ class IVLP(SimpleTrainer):
 
         def loss_fn(params, frozen, batch, rng_key):
             images, labels = batch["img"], batch["label"]
+            valid = batch.get("valid")
             aux = {}
 
             if use_mixup:
@@ -124,10 +125,11 @@ class IVLP(SimpleTrainer):
 
             if use_mixup:
                 loss = mixup_criterion(
-                    lambda lg, y: hard_loss(lg, y, frozen), logits, labels, labels_b, lam
+                    lambda lg, y: hard_loss(lg, y, frozen, valid),
+                    logits, labels, labels_b, lam,
                 )
             else:
-                loss = hard_loss(logits, labels, frozen)
+                loss = hard_loss(logits, labels, frozen, valid)
 
             if use_kd:
                 zs_img = vlp_image_features({}, frozen, clip_cfg_, images, dtype)
@@ -138,16 +140,16 @@ class IVLP(SimpleTrainer):
                 )
                 teacher_logits = jax.lax.stop_gradient(teacher_logits)
                 loss = kd_alpha * loss + (1.0 - kd_alpha) * kd_loss(
-                    logits, teacher_logits, T=kd_T
+                    logits, teacher_logits, T=kd_T, valid=valid
                 )
 
             if simclr_alpha > 0.0 and "img2" in batch:
                 imf2 = l2_normalize(
                     vlp_image_features(params, frozen, clip_cfg_, batch["img2"], dtype)
                 )
-                loss = loss + simclr_alpha * nt_xent(imf_n, imf2)
+                loss = loss + simclr_alpha * nt_xent(imf_n, imf2, valid=valid)
 
-            aux["acc"] = (logits.argmax(-1) == labels).mean() * 100.0
+            aux["acc"] = masked_acc(logits, labels, valid)
             return loss, aux
 
         self.loss_fn = loss_fn

@@ -14,7 +14,7 @@ from ..engine.trainer import TRAINER_REGISTRY, SimpleTrainer
 from ..models.clip import encode_image
 from .backbone import load_clip_backbone
 from .cocoop import _init_linear
-from .losses import cross_entropy, focal_alpha_from_shots, focal_loss
+from .losses import cross_entropy, focal_alpha_from_shots, focal_loss, masked_acc
 
 
 @TRAINER_REGISTRY.register()
@@ -63,10 +63,13 @@ class LinearProbeCLIP(SimpleTrainer):
         def loss_fn(params, frozen, batch, rng_key):
             logits = head_logits(params, frozen, batch["img"])
             if loss_type == "focal":
-                loss = focal_loss(logits, batch["label"], alpha=frozen["alpha"])
+                loss = focal_loss(
+                    logits, batch["label"], alpha=frozen["alpha"],
+                    valid=batch.get("valid"),
+                )
             else:
-                loss = cross_entropy(logits, batch["label"])
-            acc = (logits.argmax(-1) == batch["label"]).mean() * 100.0
+                loss = cross_entropy(logits, batch["label"], valid=batch.get("valid"))
+            acc = masked_acc(logits, batch["label"], batch.get("valid"))
             return loss, {"acc": acc}
 
         self.loss_fn = loss_fn

@@ -36,7 +36,7 @@ from ..models.clip import encode_image_vit, encode_text_embeds, l2_normalize
 from ..utils import mkdir_if_missing
 from .backbone import load_clip_backbone
 from .ivlp_family import build_vlp_frozen
-from .losses import cross_entropy, l1_loss
+from .losses import cross_entropy, l1_loss, masked_acc, masked_mean
 from .prompts import assemble_prompts
 
 INDEX_POSITIONS_TEXT = {
@@ -205,10 +205,11 @@ class LoRA(SimpleTrainer):
 
         def loss_fn(params, frozen, batch, rng_key):
             images, labels = batch["img"], batch["label"]
+            valid = batch.get("valid")
             imf, txf = towers(params, frozen, images, rng_key)
             logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
             logits = logit_scale * imf @ txf.T
-            loss = cross_entropy(logits, labels)
+            loss = cross_entropy(logits, labels, valid=valid)
 
             need_teacher = image_w > 0 or logits_w > 0
             if need_teacher:
@@ -222,14 +223,17 @@ class LoRA(SimpleTrainer):
             if text_w > 0:
                 loss = loss + text_w * l1_loss(txf, frozen["zs_text"])
             if image_w > 0:
-                loss = loss + image_w * l1_loss(imf, zs_img)
+                loss = loss + image_w * l1_loss(imf, zs_img, valid=valid)
             if logits_w > 0:
                 zs_logits = logit_scale * zs_img @ frozen["zs_text"].T
                 s = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
                 t = jax.nn.log_softmax(zs_logits.astype(jnp.float32), axis=1)
-                loss = loss + logits_w * (jnp.exp(t) * (t - s)).sum() / logits.size
+                # sum-KL / numel over VALID rows (reference semantics on the
+                # true batch size; padded rows would dilute the normalizer)
+                per_row = (jnp.exp(t) * (t - s)).sum(axis=1)
+                loss = loss + logits_w * masked_mean(per_row, valid) / logits.shape[1]
 
-            acc = (logits.argmax(-1) == labels).mean() * 100.0
+            acc = masked_acc(logits, labels, valid)
             return loss, {"acc": acc}
 
         self.loss_fn = loss_fn

@@ -23,7 +23,7 @@ from ..models.clip import (
 )
 from .backbone import load_clip_backbone
 from .cocoop import _init_linear
-from .losses import cross_entropy, focal_alpha_from_shots, focal_loss
+from .losses import cross_entropy, focal_alpha_from_shots, focal_loss, masked_acc
 from .prompts import assemble_prompts, build_prompt_context
 
 
@@ -165,10 +165,13 @@ class MaPLe(SimpleTrainer):
         def loss_fn(params, frozen, batch, rng_key):
             logits = logits_of(params, frozen, batch["img"])
             if use_focal:
-                loss = focal_loss(logits, batch["label"], alpha=frozen["alpha"])
+                loss = focal_loss(
+                    logits, batch["label"], alpha=frozen["alpha"],
+                    valid=batch.get("valid"),
+                )
             else:
-                loss = cross_entropy(logits, batch["label"])
-            acc = (logits.argmax(-1) == batch["label"]).mean() * 100.0
+                loss = cross_entropy(logits, batch["label"], valid=batch.get("valid"))
+            acc = masked_acc(logits, batch["label"], batch.get("valid"))
             return loss, {"acc": acc}
 
         self.loss_fn = loss_fn

@@ -21,7 +21,7 @@ import numpy as np
 from ..engine.trainer import TRAINER_REGISTRY, SimpleTrainer
 from ..models.clip import clip_logits, encode_image, encode_text_embeds
 from .backbone import load_clip_backbone
-from .losses import cross_entropy
+from .losses import cross_entropy, masked_acc
 from .prompts import assemble_prompts, build_prompt_context
 
 
@@ -104,10 +104,11 @@ class PLIP(SimpleTrainer):
         def loss_fn(params, frozen, batch, rng_key):
             ctx = get_ctx(params, frozen)
             images, labels = batch["img"], batch["label"]
+            valid = batch.get("valid")
 
             def ce_of_ctx(c):
                 logits = logits_from_ctx(c, frozen, images)
-                return cross_entropy(logits, labels), logits
+                return cross_entropy(logits, labels, valid=valid), logits
 
             if reg_type == "grad":
                 (ce, logits), g = jax.value_and_grad(ce_of_ctx, has_aux=True)(ctx)
@@ -130,7 +131,7 @@ class PLIP(SimpleTrainer):
                 penalty = 0.0
 
             loss = ce + coeff * penalty
-            acc = (logits.argmax(-1) == labels).mean() * 100.0
+            acc = masked_acc(logits, labels, valid)
             return loss, {"penalty": jnp.asarray(penalty, jnp.float32), "acc": acc}
 
         self.loss_fn = loss_fn

@@ -33,6 +33,8 @@ from .losses import (
     focal_alpha_from_shots,
     focal_loss,
     l1_loss,
+    masked_acc,
+    masked_mean,
     nt_xent,
 )
 
@@ -78,6 +80,7 @@ class PromptSRC(IVLP):
 
         def loss_fn(params, frozen, batch, rng_key):
             images, labels = batch["img"], batch["label"]
+            valid = batch.get("valid")
             logit_scale = jnp.exp(frozen["clip"]["logit_scale"])
 
             txf = l2_normalize(vlp_text_features(params, frozen, clip_cfg_, dtype, remat=remat))
@@ -98,18 +101,20 @@ class PromptSRC(IVLP):
             zs_logits = logit_scale * zs_img @ frozen["zs_text"].T
 
             if loss_type == "focal":
-                loss_ce = focal_loss(logits, labels, alpha=frozen["alpha"])
+                loss_ce = focal_loss(logits, labels, alpha=frozen["alpha"], valid=valid)
             else:
-                loss_ce = cross_entropy(logits, labels)
+                loss_ce = cross_entropy(logits, labels, valid=valid)
 
             loss_scl_text = l1_loss(txf, frozen["zs_text"]) * text_w
-            loss_scl_image = l1_loss(imf, zs_img) * image_w
-            # KL(student ‖ teacher) summed over all elements / numel
-            # (promptsrc.py:316-324: F.kl_div(..., reduction='sum') / numel)
+            loss_scl_image = l1_loss(imf, zs_img, valid=valid) * image_w
+            # KL(student ‖ teacher) summed over all elements / numel over
+            # VALID rows (promptsrc.py:316-324: F.kl_div(reduction='sum') /
+            # numel, where numel is the true batch's element count)
             s = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
             t = jax.nn.log_softmax(zs_logits.astype(jnp.float32), axis=1)
+            per_row = (jnp.exp(t) * (t - s)).sum(axis=1)
             loss_scl_logits = (
-                (jnp.exp(t) * (t - s)).sum() / logits.size
+                masked_mean(per_row, valid) / logits.shape[1]
             ) * logits_w
 
             loss = loss_ce + loss_scl_text + loss_scl_image + loss_scl_logits
@@ -118,13 +123,13 @@ class PromptSRC(IVLP):
                 "loss_scl_text": loss_scl_text,
                 "loss_scl_image": loss_scl_image,
                 "loss_scl_logits": loss_scl_logits,
-                "acc": (logits.argmax(-1) == labels).mean() * 100.0,
+                "acc": masked_acc(logits, labels, valid),
             }
             if simclr_alpha > 0.0 and "img2" in batch:
                 imf2 = l2_normalize(
                     vlp_image_features(params, frozen, clip_cfg_, batch["img2"], dtype)
                 )
-                loss = loss + simclr_alpha * nt_xent(imf, imf2)
+                loss = loss + simclr_alpha * nt_xent(imf, imf2, valid=valid)
             return loss, aux
 
         self.loss_fn = loss_fn
@@ -176,6 +181,24 @@ class PromptSRC(IVLP):
             cache[idx] = f[batch["valid"]]
         print(f"[PromptSRC] cached teacher image features: {cache.shape}")
         return jnp.asarray(cache)
+
+    def extra_state(self):
+        st = super().extra_state()
+        if self.gpa_params is not None:
+            st["gpa_params"] = jax.tree.map(np.asarray, self.gpa_params)
+        return st
+
+    def load_extra_state(self, state):
+        super().load_extra_state(state)
+        if state.get("gpa_params") is not None:
+            self.gpa_params = jax.tree.map(jnp.asarray, state["gpa_params"])
+        elif self.use_gpa:
+            # resuming without an accumulator would silently drop all
+            # pre-resume epochs from the Gaussian aggregate (ADVICE r1)
+            print(
+                "WARNING: resuming PromptSRC from a checkpoint without "
+                "gpa_params — the GPA aggregate will exclude pre-resume epochs"
+            )
 
     def after_epoch(self):
         if self.use_gpa:

@@ -17,7 +17,7 @@ from ..engine.trainer import TRAINER_REGISTRY, SimpleTrainer
 from ..models.clip import encode_image, encode_text_ids, l2_normalize
 from ..models.clip.tokenizer import tokenize
 from .backbone import load_clip_backbone
-from .losses import cross_entropy
+from .losses import cross_entropy, masked_acc
 from .templates import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT
 
 
@@ -60,8 +60,8 @@ class ZeroshotCLIP(SimpleTrainer):
 
         def loss_fn(params, frozen, batch, rng_key):
             logits = logits_of(params, frozen, batch["img"])
-            loss = cross_entropy(logits, batch["label"])
-            acc = (logits.argmax(-1) == batch["label"]).mean() * 100.0
+            loss = cross_entropy(logits, batch["label"], valid=batch.get("valid"))
+            acc = masked_acc(logits, batch["label"], batch.get("valid"))
             return loss, {"acc": acc}
 
         self.loss_fn = loss_fn

@@ -37,6 +37,55 @@ def test_resume_from_pointer_file(tmp_path):
     assert start == 3  # picks up after the final saved epoch
 
 
+def test_best_save_does_not_move_resume_pointer(tmp_path):
+    """A best-val save (model-best.pkl) must NOT advance the pointer file:
+    a crash after it would otherwise resume from the best epoch, replaying
+    epochs (ADVICE r1)."""
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 2, "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    mdir = os.path.join(cfg.OUTPUT_DIR, "prompt_learner")
+    with open(os.path.join(mdir, "checkpoint")) as f:
+        assert f.read().strip() == "model.pkl-2"
+    # simulate a later best-val save at an EARLIER epoch
+    t.save_model(0, cfg.OUTPUT_DIR, val_result=99.0, model_name="model-best.pkl")
+    with open(os.path.join(mdir, "checkpoint")) as f:
+        assert f.read().strip() == "model.pkl-2"
+    t2 = build_trainer(cfg)
+    assert t2.resume_model_if_exist(cfg.OUTPUT_DIR) == 2
+
+
+def test_resume_restores_rng_and_gpa(tmp_path):
+    """PromptSRC resume must restore the GPA accumulator and rng stream."""
+    cfg = make_cfg(
+        tmp_path,
+        **{
+            "TRAINER.NAME": "PromptSRC",
+            "OPTIM.MAX_EPOCH": 4,
+            "TEST.NO_TEST": True,
+            "TRAINER.PROMPTSRC.PREC": "fp32",
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_TEXT": 2,
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION": 2,
+            "TRAIN.CHECKPOINT_FREQ": 1,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    # run the first 2 of 4 epochs, checkpointing each
+    t.train(max_epoch=2)
+    assert t.gpa_params is not None
+    gpa_after_2 = [np.asarray(x) for x in __import__("jax").tree.leaves(t.gpa_params)]
+
+    t2 = build_trainer(cfg)
+    t2.resume_model_if_exist(cfg.OUTPUT_DIR)
+    assert t2.start_epoch == 2
+    assert t2.gpa_params is not None
+    for a, b in zip(gpa_after_2, __import__("jax").tree.leaves(t2.gpa_params)):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t.rng_key), np.asarray(t2.rng_key))
+
+
 def test_resume_missing_checkpoint_announces_fallback(tmp_path, capsys):
     cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 1, "TEST.NO_TEST": True})
     cfg.freeze()
