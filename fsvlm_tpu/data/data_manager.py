@@ -38,11 +38,13 @@ class DataManager:
         self.tfm_train, self.tfm_test = tfm_train, tfm_test
         wrapper_cls = dataset_wrapper or DatasetWrapper
 
-        def make_loader(data_source, sampler_type, batch_size, n_ins, is_train, tfm):
+        def make_loader(data_source, sampler_type, batch_size, n_ins, is_train, tfm,
+                        n_domain=0):
             if not data_source:
                 return None
             sampler = build_sampler(
-                sampler_type, data_source, batch_size=batch_size, n_ins=n_ins,
+                sampler_type, data_source, batch_size=batch_size,
+                n_domain=n_domain, n_ins=n_ins,
                 seed=cfg.SEED if cfg.SEED >= 0 else None,
             )
             if is_train and cfg.DATALOADER.DEVICE_AUG:
@@ -81,6 +83,7 @@ class DataManager:
             cfg.DATALOADER.TRAIN_X.N_INS,
             True,
             tfm_train,
+            n_domain=cfg.DATALOADER.TRAIN_X.N_DOMAIN,
         )
         train_u_cfg = cfg.DATALOADER.TRAIN_U
         sampler_u = train_u_cfg.SAMPLER
@@ -90,7 +93,8 @@ class DataManager:
             bs_u = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
             nins_u = cfg.DATALOADER.TRAIN_X.N_INS
         self.train_loader_u = make_loader(
-            dataset.train_u, sampler_u, bs_u, nins_u, True, tfm_train
+            dataset.train_u, sampler_u, bs_u, nins_u, True, tfm_train,
+            n_domain=cfg.DATALOADER.TRAIN_U.N_DOMAIN,
         )
         self.val_loader = make_loader(
             dataset.val,

@@ -82,6 +82,78 @@ class RandomClassSampler:
         return self.length
 
 
+class RandomDomainSampler:
+    """Sample N domains x K images per minibatch (samplers.py:9-62): keep
+    drawing domain subsets without replacement within an epoch until some
+    selected domain can no longer fill its quota."""
+
+    def __init__(self, data_source, batch_size, n_domain, seed=None):
+        self.domain_dict = defaultdict(list)
+        for i, item in enumerate(data_source):
+            self.domain_dict[item.domain].append(i)
+        self.domains = list(self.domain_dict.keys())
+        if n_domain is None or n_domain <= 0:
+            n_domain = len(self.domains)
+        if batch_size % n_domain != 0:
+            raise ValueError("batch_size must be divisible by n_domain")
+        self.n_img_per_domain = batch_size // n_domain
+        self.n_domain = n_domain
+        self.rng = random.Random(seed)
+        self.length = len(list(iter(self)))
+
+    def __iter__(self):
+        rng = self.rng
+        pools = {d: list(v) for d, v in self.domain_dict.items()}
+        final = []
+        stop = False
+        while not stop:
+            for domain in rng.sample(self.domains, self.n_domain):
+                picked = rng.sample(pools[domain], self.n_img_per_domain)
+                final.extend(picked)
+                for idx in picked:
+                    pools[domain].remove(idx)
+                if len(pools[domain]) < self.n_img_per_domain:
+                    stop = True
+        return iter(final)
+
+    def __len__(self):
+        return self.length
+
+
+class SeqDomainSampler:
+    """Fixed (sorted) domain order, K random images per domain per batch
+    (samplers.py:65-116)."""
+
+    def __init__(self, data_source, batch_size, seed=None):
+        self.domain_dict = defaultdict(list)
+        for i, item in enumerate(data_source):
+            self.domain_dict[item.domain].append(i)
+        self.domains = sorted(self.domain_dict.keys())
+        if batch_size % len(self.domains) != 0:
+            raise ValueError("batch_size must be divisible by the domain count")
+        self.n_img_per_domain = batch_size // len(self.domains)
+        self.rng = random.Random(seed)
+        self.length = len(list(iter(self)))
+
+    def __len__(self):
+        return self.length
+
+    def __iter__(self):
+        rng = self.rng
+        pools = {d: list(v) for d, v in self.domain_dict.items()}
+        final = []
+        stop = False
+        while not stop:
+            for domain in self.domains:
+                picked = rng.sample(pools[domain], self.n_img_per_domain)
+                final.extend(picked)
+                for idx in picked:
+                    pools[domain].remove(idx)
+                if len(pools[domain]) < self.n_img_per_domain:
+                    stop = True
+        return iter(final)
+
+
 class WeightedClassSampler:
     """Inverse-class-frequency sampling with replacement — the fork's
     class-balanced sampler (samplers.py:181-212).  Each index i is drawn with
@@ -103,7 +175,9 @@ class WeightedClassSampler:
         return self.num_samples
 
 
-def build_sampler(sampler_type, data_source, batch_size=32, n_ins=16, seed=None):
+def build_sampler(
+    sampler_type, data_source, batch_size=32, n_domain=0, n_ins=16, seed=None
+):
     """Factory (samplers.py:215-249)."""
     if sampler_type == "RandomSampler":
         return RandomSampler(data_source, seed)
@@ -113,4 +187,8 @@ def build_sampler(sampler_type, data_source, batch_size=32, n_ins=16, seed=None)
         return RandomClassSampler(data_source, batch_size, n_ins, seed)
     if sampler_type == "WeightedClassSampler":
         return WeightedClassSampler(data_source, seed)
+    if sampler_type == "RandomDomainSampler":
+        return RandomDomainSampler(data_source, batch_size, n_domain, seed)
+    if sampler_type == "SeqDomainSampler":
+        return SeqDomainSampler(data_source, batch_size, seed)
     raise ValueError(f"Unknown sampler type: {sampler_type}")

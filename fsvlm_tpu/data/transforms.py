@@ -115,12 +115,19 @@ class TrainTransform:
         rng = rng or self.rng
         out_w, out_h = self.size[1], self.size[0]
 
+        # reference order (transforms.py:221-236): translation runs BEFORE the
+        # crops and produces a target-size image itself
+        translated = False
+        if "random_translation" in self.choices:
+            img = _random_translation(img, out_h, out_w, rng)
+            translated = True
+
         if "random_resized_crop" in self.choices:
             i, j, h, w = random_resized_crop_params(rng, img.width, img.height, self.scale)
             img = img.resize((out_w, out_h), self.interp, box=(j, i, j + w, i + h))
         elif "random_crop" in self.choices:
             img = _pad_and_random_crop(img, (out_h, out_w), 4, rng)
-        elif "center_crop" in self.choices or img.size != (out_w, out_h):
+        elif not translated and ("center_crop" in self.choices or img.size != (out_w, out_h)):
             img = _resize_center_crop(img, (out_h, out_w), self.interp)
 
         if "random_flip" in self.choices and rng.random() < 0.5:
@@ -204,6 +211,21 @@ def _resize_center_crop(img, size, interp):
     left = (nw - tw) // 2
     top = (nh - th) // 2
     return img.crop((left, top, left + tw, top + th))
+
+
+def _random_translation(img, th, tw, rng, p=0.5):
+    """Random2DTranslation (dassl transforms.py:43-86): with prob p, resize
+    to 1.125x target then random-crop to target; else plain resize.  The
+    reference always uses BILINEAR here (the cfg interpolation is not passed
+    through, transforms.py:222-223)."""
+    if rng.random() > p:
+        return img.resize((tw, th), Image.BILINEAR)
+    nw = int(round(tw * 1.125))
+    nh = int(round(th * 1.125))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    x1 = int(round(rng.uniform(0, nw - tw)))
+    y1 = int(round(rng.uniform(0, nh - th)))
+    return img.crop((x1, y1, x1 + tw, y1 + th))
 
 
 def _pad_and_random_crop(img, size, padding, rng):

@@ -150,3 +150,90 @@ def test_loader_propagates_decode_errors():
 
     with pytest.raises(RuntimeError, match="producer failed"):
         list(iter(loader))
+
+
+def _domain_items(per_domain):
+    items = []
+    for d, n in enumerate(per_domain):
+        for j in range(n):
+            items.append(
+                Datum(
+                    impath=f"synthetic://d-{d}-{j}",
+                    label=j % 3,
+                    domain=d,
+                    classname=f"c{j % 3}",
+                )
+            )
+    return items
+
+
+def test_random_domain_sampler():
+    """N domains x K images per batch (dassl samplers.py:9-62)."""
+    items = _domain_items([12, 12, 12])
+    s = build_sampler("RandomDomainSampler", items, batch_size=6, n_domain=2, seed=0)
+    idxs = list(iter(s))
+    assert len(idxs) % 6 == 0 and len(idxs) > 0
+    domains = [items[i].domain for i in idxs]
+    for b in range(len(idxs) // 6):
+        chunk = domains[b * 6 : (b + 1) * 6]
+        # 2 domains, 3 consecutive images each
+        assert chunk[0] == chunk[1] == chunk[2]
+        assert chunk[3] == chunk[4] == chunk[5]
+        assert chunk[0] != chunk[3]
+    assert len(set(idxs)) == len(idxs)  # within-epoch no replacement
+
+
+def test_seq_domain_sampler():
+    """Sorted domain order, K per domain (dassl samplers.py:65-116)."""
+    items = _domain_items([8, 8])
+    s = build_sampler("SeqDomainSampler", items, batch_size=4, seed=0)
+    idxs = list(iter(s))
+    domains = [items[i].domain for i in idxs]
+    for b in range(len(idxs) // 4):
+        chunk = domains[b * 4 : (b + 1) * 4]
+        assert chunk == [0, 0, 1, 1]
+    assert len(set(idxs)) == len(idxs)
+
+
+def test_domain_sampler_rejects_indivisible_batch():
+    items = _domain_items([8, 8, 8])
+    with pytest.raises(ValueError):
+        build_sampler("RandomDomainSampler", items, batch_size=4, n_domain=3)
+
+
+def test_random_translation_moves_pixels():
+    """Reference Random2DTranslation (dassl transforms.py:43-86): upscale to
+    1.125x then random-crop — output pixels must actually shift."""
+    import random
+
+    from PIL import Image
+
+    from fsvlm_tpu.data.transforms import _random_translation
+
+    # horizontal gradient so any x-shift changes pixel values
+    base = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    img = Image.fromarray(np.stack([base] * 3, -1))
+
+    plain = np.asarray(img.resize((32, 32), Image.BILINEAR), np.float32)
+    moved = 0
+    for seed in range(20):
+        rng = random.Random(seed)
+        out = _random_translation(img, 32, 32, rng)
+        assert out.size == (32, 32)
+        if not np.allclose(np.asarray(out, np.float32), plain):
+            moved += 1
+    assert moved > 0  # the p=0.5 translate branch fires and shifts content
+
+
+def test_random_translation_in_pipeline():
+    from PIL import Image
+
+    from fsvlm_tpu.data.transforms import TrainTransform
+
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.INPUT.TRANSFORMS = ["random_translation", "normalize"]
+    t = TrainTransform(cfg)
+    rng_img = np.random.RandomState(0).randint(0, 255, (48, 48, 3), np.uint8)
+    x = t(Image.fromarray(rng_img))
+    assert x.shape == (32, 32, 3)
