@@ -203,13 +203,19 @@ class TestTransform:
 
 def _resize_center_crop(img, size, interp):
     th, tw = size
-    # resize so the shorter edge equals max(size), like Resize(max(size))
+    # resize so the shorter edge equals max(size), like Resize(max(size)).
+    # Rounding must match torchvision exactly (clip/clip.py:71-78 pipes PIL
+    # images through torchvision Resize+CenterCrop): the long edge is
+    # TRUNCATED (torchvision _compute_resized_output_size uses int()), and
+    # the crop offset is ROUNDED (crop_top = int(round((h - th) / 2.0))).
     target = max(th, tw)
-    scale = target / min(img.width, img.height)
-    nw, nh = round(img.width * scale), round(img.height * scale)
+    if img.width <= img.height:
+        nw, nh = target, int(target * img.height / img.width)
+    else:
+        nw, nh = int(target * img.width / img.height), target
     img = img.resize((nw, nh), interp)
-    left = (nw - tw) // 2
-    top = (nh - th) // 2
+    left = int(round((nw - tw) / 2.0))
+    top = int(round((nh - th) / 2.0))
     return img.crop((left, top, left + tw, top + th))
 
 

@@ -16,10 +16,11 @@ import functools
 import gzip
 import html
 import os
-import unicodedata
 
 import numpy as np
 import regex as re
+
+from .textfix import fix_text
 
 _VOCAB_FILENAME = "bpe_simple_vocab_16e6.txt.gz"
 
@@ -81,19 +82,15 @@ def byte_to_unicode_table():
 
 
 def _clean_text(text):
-    """ftfy.fix_text + double html.unescape + strip.
+    """ftfy.fix_text + double html.unescape + strip
+    (simple_tokenizer.py:50-55).
 
-    ftfy is unavailable in this environment; for the well-formed ASCII class
-    names/templates the framework feeds the tokenizer, ftfy.fix_text is the
-    identity.  We apply NFC normalization as a light-weight stand-in and use
-    real ftfy when importable.
+    ftfy is not installed in this environment; ``textfix.fix_text`` is a
+    vendored equivalent of its default pipeline (mojibake repair, width/
+    ligature/quote normalization, NFC), behavior-pinned by
+    tests/test_textfix.py against ftfy's published examples.
     """
-    try:  # pragma: no cover - ftfy not installed in CI image
-        import ftfy
-
-        text = ftfy.fix_text(text)
-    except ImportError:
-        text = unicodedata.normalize("NFC", text)
+    text = fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 

@@ -35,6 +35,7 @@ from .losses import (
     focal_alpha_from_shots,
     focal_loss,
     kd_loss,
+    masked_acc,
     mixup_batch,
     mixup_criterion,
     nt_xent,

@@ -4,7 +4,7 @@
 cd "$(dirname "$0")/../.."
 DATASET=$1; SEED=$2; CFG=${3:-vit_b16_ep50}; DATA=${4:-${DATA:-~/data}}
 for SHOTS in 1 2 4 8 16; do
-  DIR=output/${DATASET}/CoOp/${CFG}_${SHOTS}shots/seed${SEED}
+  DIR=${OUT_ROOT:-output}/${DATASET}/CoOp/${CFG}_${SHOTS}shots/seed${SEED}
   python train.py --root "${DATA}" --seed "${SEED}" --trainer CoOp \
       --dataset-config-file configs/datasets/${DATASET}.yaml \
       --config-file configs/trainers/CoOp/${CFG}.yaml \

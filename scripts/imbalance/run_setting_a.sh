@@ -27,7 +27,7 @@ for TAIL_SHOTS in 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
   HEAD=$(repeat_value 16 "${HEAD_N}")
   TAIL=$(repeat_value "${TAIL_SHOTS}" "${TAIL_N}")
   PER_CLASS_SHOTS="[${HEAD},${TAIL}]"
-  DIR=output/setting_a/${DATASET}/${TRAINER}/${CFG}/${LOSS}/tail${TAIL_SHOTS}/seed${SEED}
+  DIR=${OUT_ROOT:-output}/setting_a/${DATASET}/${TRAINER}/${CFG}/${LOSS}/tail${TAIL_SHOTS}/seed${SEED}
 
   echo ">> setting A: tail=${TAIL_SHOTS} PER_CLASS_SHOTS=${PER_CLASS_SHOTS}"
   python train.py \

@@ -29,7 +29,7 @@ for pair in "${PAIRS[@]}"; do
   HEAD=$(repeat_value "${HEAD_SHOTS}" "${HEAD_N}")
   TAIL=$(repeat_value "${TAIL_SHOTS}" "${TAIL_N}")
   PER_CLASS_SHOTS="[${HEAD},${TAIL}]"
-  DIR=output/setting_b/${DATASET}/${TRAINER}/${CFG}/head${HEAD_SHOTS}_tail${TAIL_SHOTS}/seed${SEED}
+  DIR=${OUT_ROOT:-output}/setting_b/${DATASET}/${TRAINER}/${CFG}/head${HEAD_SHOTS}_tail${TAIL_SHOTS}/seed${SEED}
 
   echo ">> setting B: head=${HEAD_SHOTS} tail=${TAIL_SHOTS}"
   python train.py \

@@ -1,0 +1,13 @@
+#!/bin/bash
+# IVLP imbalanced base-to-new protocol (test phase).
+# Parity: reference scripts/independent-vlp/base2new_fewshot_test.sh
+# usage: bash scripts/independent-vlp/base2new_fewshot_test.sh <dataset> <seed> \
+#            '<per_class_shots>' [data_root]     e.g. '[16,16,16,1,1,1]'
+# env overrides: CFG, LOADEP, SUB, SHOTS (default -2 sentinel)
+cd "$(dirname "$0")/../.."
+MODE=test
+TRAINER=IVLP
+CFGDIR=IVLP
+CFG=${CFG:-vit_b16_c2_ep5_batch4_2+2ctx}
+LOADEP=${LOADEP:-5}
+source scripts/_lib/base2new_fewshot.sh "$@"

@@ -3,7 +3,7 @@
 # usage: bash scripts/linear_probe/main.sh <dataset> <seed> <shots> [config] [data_root]
 cd "$(dirname "$0")/../.."
 DATASET=$1; SEED=$2; SHOTS=${3:-16}; CFG=${4:-vit_b16_ep50}; DATA=${5:-${DATA:-~/data}}
-DIR=output/${DATASET}/LinearProbeCLIP/${CFG}_${SHOTS}shots/seed${SEED}
+DIR=${OUT_ROOT:-output}/${DATASET}/LinearProbeCLIP/${CFG}_${SHOTS}shots/seed${SEED}
 python train.py --root "${DATA}" --seed "${SEED}" --trainer LinearProbeCLIP \
     --dataset-config-file configs/datasets/${DATASET}.yaml \
     --config-file configs/trainers/LinearProbeCLIP/${CFG}.yaml \

@@ -1,0 +1,13 @@
+#!/bin/bash
+# PromptSRC imbalanced base-to-new protocol (test phase).
+# Parity: reference scripts/promptsrc/base2new_fewshot_test.sh
+# usage: bash scripts/promptsrc/base2new_fewshot_test.sh <dataset> <seed> \
+#            '<per_class_shots>' [data_root]     e.g. '[16,16,16,1,1,1]'
+# env overrides: CFG, LOADEP, SUB, SHOTS (default -2 sentinel)
+cd "$(dirname "$0")/../.."
+MODE=test
+TRAINER=PromptSRC
+CFGDIR=PromptSRC
+CFG=${CFG:-vit_b16_c2_ep20_batch4_4+4ctx}
+LOADEP=${LOADEP:-20}
+source scripts/_lib/base2new_fewshot.sh "$@"

@@ -15,8 +15,8 @@ LOADEP=${LOADEP:-20}
 SUB=new
 
 COMMON_DIR=${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
-MODEL_DIR=output/base2new/train_base/${COMMON_DIR}
-DIR=output/base2new/test_${SUB}/${COMMON_DIR}
+MODEL_DIR=${OUT_ROOT:-output}/base2new/train_base/${COMMON_DIR}
+DIR=${OUT_ROOT:-output}/base2new/test_${SUB}/${COMMON_DIR}
 
 python train.py \
     --root "${DATA}" \

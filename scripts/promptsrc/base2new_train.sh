@@ -13,7 +13,7 @@ CFG=vit_b16_c2_ep20_batch4_4+4ctx
 SHOTS=16
 SUB=base
 
-DIR=output/base2new/train_${SUB}/${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
+DIR=${OUT_ROOT:-output}/base2new/train_${SUB}/${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
 if [ -d "$DIR" ]; then
     echo "Results already exist in ${DIR}. Resuming..."
 fi

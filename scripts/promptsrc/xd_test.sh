@@ -11,7 +11,7 @@ SEED=$2
 CFG=vit_b16_c2_ep20_batch4_4+4ctx
 SHOTS=16
 
-DIR=output/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/${DATASET}/seed${SEED}
+DIR=${OUT_ROOT:-output}/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/${DATASET}/seed${SEED}
 python train.py \
     --root "${DATA}" \
     --seed "${SEED}" \
@@ -19,6 +19,6 @@ python train.py \
     --dataset-config-file configs/datasets/${DATASET}.yaml \
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir "${DIR}" \
-    --model-dir output/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED} \
+    --model-dir ${OUT_ROOT:-output}/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED} \
     --load-epoch 20 \
     --eval-only

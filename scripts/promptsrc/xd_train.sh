@@ -11,7 +11,7 @@ SEED=$1
 CFG=vit_b16_c2_ep20_batch4_4+4ctx
 SHOTS=16
 
-DIR=output/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED}
+DIR=${OUT_ROOT:-output}/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED}
 python train.py \
     --root "${DATA}" \
     --seed "${SEED}" \

@@ -6,6 +6,6 @@ DATASET=$1; BACKBONE=${2:-ViT-B/16}; TRAINER=${3:-ZeroshotCLIP}; DATA=${4:-${DAT
 python train.py --root "${DATA}" --trainer ${TRAINER} \
     --dataset-config-file configs/datasets/${DATASET}.yaml \
     --config-file configs/trainers/CoOp/vit_b16_ep50.yaml \
-    --output-dir output/${DATASET}/${TRAINER}/$(echo ${BACKBONE} | tr '/' '-') \
+    --output-dir ${OUT_ROOT:-output}/${DATASET}/${TRAINER}/$(echo ${BACKBONE} | tr '/' '-') \
     --eval-only --no-train \
     MODEL.BACKBONE.NAME "${BACKBONE}"

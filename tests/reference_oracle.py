@@ -19,11 +19,16 @@ def reference_available():
 
 
 def _stub_ftfy():
-    """The reference tokenizer imports ftfy (not installed here). For the
-    ASCII inputs our tests use, fix_text is the identity."""
+    """The reference tokenizer imports ftfy (not installed here).  The stub
+    delegates to fsvlm_tpu's vendored equivalent (models/clip/textfix.py),
+    whose behavior is pinned to ftfy's published examples by
+    tests/test_textfix.py — so oracle tokenizer-parity tests exercise the
+    non-ASCII/mojibake path with realistic fix_text semantics."""
     if "ftfy" not in sys.modules:
+        from fsvlm_tpu.models.clip.textfix import fix_text
+
         mod = types.ModuleType("ftfy")
-        mod.fix_text = lambda s: s
+        mod.fix_text = fix_text
         sys.modules["ftfy"] = mod
 
 

@@ -1,0 +1,102 @@
+"""Smoke the stock scripts/ protocol drivers end-to-end on synthetic data.
+
+Every driver accepts OUT_ROOT (output prefix), CFG (config name, resolved
+relative to the trainer's config dir), and FSVLM_EXTRA_OPTS (appended
+config overrides) so the reference protocols run unmodified offline.
+Covers the imbalanced base2new_fewshot train->test chain
+(reference scripts/promptsrc/base2new_fewshot_{train,test}.sh), the LoRA
+regularized-validation driver (scripts/lora/main_val.sh), and the
+subsampled zero-shot driver (scripts/zsclip/zeroshot_sub.sh).
+"""
+
+import os
+import subprocess
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY = "../tests/synthetic_tiny"  # resolves from any trainer's config dir
+
+
+def run_script(script, args, extra_env, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env)
+    result = subprocess.run(
+        ["bash", os.path.join(ROOT, script)] + args,
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=env,
+        timeout=timeout,
+    )
+    assert result.returncode == 0, (
+        script + "\n" + result.stdout[-3000:] + result.stderr[-3000:]
+    )
+    return result.stdout
+
+
+def test_base2new_fewshot_chain(tmp_path):
+    """Train on all classes with an imbalanced shot list, then evaluate the
+    checkpoint on the new class half — the fork's flagship protocol."""
+    out_root = str(tmp_path / "out")
+    env = {
+        "OUT_ROOT": out_root,
+        "CFG": TINY,
+        "LOADEP": "2",
+        "FSVLM_EXTRA_OPTS": (
+            "OPTIM.MAX_EPOCH 2 TRAINER.PROMPTSRC.PREC fp32 "
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_TEXT 2 "
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION 2"
+        ),
+    }
+    shots = "[4,4,4,4,1,1,1,1]"  # synthetic has 8 classes
+    stdout = run_script(
+        "scripts/promptsrc/base2new_fewshot_train.sh",
+        ["synthetic", "1", shots], env,
+    )
+    assert "Finish training" in stdout
+    train_dir = os.path.join(
+        out_root, "base2new/train_all/synthetic/shots_-2/PromptSRC",
+        TINY + "/seed1",
+    )
+    assert os.path.isdir(os.path.normpath(train_dir))
+
+    stdout = run_script(
+        "scripts/promptsrc/base2new_fewshot_test.sh",
+        ["synthetic", "1", shots], env,
+    )
+    assert "=> result" in stdout
+    assert "* accuracy:" in stdout
+    # the new-half eval sees only the second half of the classes
+    assert "SUBSAMPLE_CLASSES: new" in stdout
+
+
+def test_lora_main_val(tmp_path):
+    """main_val.sh passes the LORA.*_LOSS_WEIGHT opts the reference script
+    sets but whose keys the reference config never defines."""
+    stdout = run_script(
+        "scripts/lora/main_val.sh",
+        ["synthetic", "1", "4", TINY],
+        {
+            "OUT_ROOT": str(tmp_path / "out"),
+            "SAMPLER": "WeightedClassSampler",
+            "FSVLM_EXTRA_OPTS": "OPTIM.MAX_EPOCH 1 TEST.NO_TEST True",
+        },
+    )
+    assert "Finish training" in stdout
+    assert "WeightedClassSampler" in stdout
+
+
+def test_zeroshot_sub(tmp_path):
+    stdout = run_script(
+        "scripts/zsclip/zeroshot_sub.sh",
+        ["synthetic", "base"],
+        {
+            "OUT_ROOT": str(tmp_path / "out"),
+            "CFG": TINY,
+            "BACKBONE": "test-tiny",
+        },
+    )
+    assert "* accuracy:" in stdout
+    assert "SUBSAMPLE_CLASSES: base" in stdout
