@@ -67,6 +67,13 @@ def get_cfg_default():
     # PRE_SIZE is the host-side cache resolution
     _C.DATALOADER.DEVICE_AUG = False
     _C.DATALOADER.PRE_SIZE = 256
+    # TPU extension: keep the (tiny) few-shot train set resident in HBM as
+    # one uint8 array and gather batches on device by index — per-step H2D
+    # shrinks from B*P*P*3 bytes to a handful of int32s.  "auto" enables it
+    # whenever DEVICE_AUG is on and the set fits the MB budget; "on"
+    # forces (errors if ineligible), "off" disables.
+    _C.DATALOADER.DEVICE_RESIDENT = "auto"
+    _C.DATALOADER.DEVICE_RESIDENT_BUDGET_MB = 2048
     _C.DATALOADER.TRAIN_X = CN()
     _C.DATALOADER.TRAIN_X.SAMPLER = "RandomSampler"
     _C.DATALOADER.TRAIN_X.BATCH_SIZE = 32

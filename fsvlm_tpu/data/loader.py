@@ -158,6 +158,14 @@ class RawDatasetWrapper(DatasetWrapper):
             "impath": item.impath,
         }
 
+    def materialize(self, num_threads=8):
+        """Decode/resize the WHOLE dataset into one (N, P, P, 3) uint8 array
+        (dataset order, so row i serves index i) for the device-resident
+        train path."""
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            items = list(pool.map(self.__getitem__, range(len(self))))
+        return np.stack([it["img"] for it in items]).astype(np.uint8)
+
 
 class BatchLoader:
     """Iterable over fixed-shape numpy batches with background prefetch."""
@@ -201,6 +209,22 @@ class BatchLoader:
         for k in self.extra_keys:
             batch[k] = np.stack([it[k] for it in items])
         return batch
+
+    def iter_index_batches(self):
+        """Index-only epoch iteration for the device-resident path: same
+        sampler order, padding and valid-mask semantics as __iter__, but
+        batches carry no pixels — the jitted step gathers images from the
+        HBM-resident cache by ``index``."""
+        for chunk in self._index_batches():
+            n_valid = len(chunk)
+            idxs = list(chunk) + [chunk[-1]] * (self.batch_size - n_valid)
+            items = [self.wrapper.data_source[i] for i in idxs]
+            yield {
+                "label": np.asarray([it.label for it in items], np.int32),
+                "domain": np.asarray([it.domain for it in items], np.int32),
+                "index": np.asarray(idxs, np.int32),
+                "valid": np.arange(self.batch_size) < n_valid,
+            }
 
     def _index_batches(self):
         idxs = list(iter(self.sampler))

@@ -146,7 +146,32 @@ class SimpleTrainer:
         def eval_step(params, frozen, images):
             return logits_fn(params, frozen, images)
 
+        # device-resident variant: the batch carries only indices; images
+        # are gathered from the HBM-resident uint8 cache inside the step
+        # (cache is an ARGUMENT, never a closure — a closed-over array would
+        # become an HLO constant).  The gather output is pinned to the data
+        # sharding so each device reads only its own batch rows from the
+        # replicated cache.
+        ds_sharding = data_sharded(self.mesh)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_resident(params, opt_state, frozen, cache, batch, rng):
+            imgs = jax.lax.with_sharding_constraint(
+                jnp.take(cache, batch["index"], axis=0), ds_sharding
+            )
+            batch = dict(batch, img=imgs)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, frozen, batch, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return params, opt_state, metrics
+
         self._train_step = train_step
+        self._train_step_resident = train_step_resident
+        self._device_cache = None
         self._eval_step = eval_step
 
         # optional split eval: encode the class-prompt text features ONCE per
@@ -191,18 +216,72 @@ class SimpleTrainer:
     def before_epoch(self):
         pass
 
+    def _maybe_device_cache(self):
+        """Build (once) the HBM-resident uint8 train cache when eligible.
+
+        Eligible: DEVICE_RESIDENT auto/on, the train loader is the raw-uint8
+        device-aug pipeline, and the full set fits the MB budget (a 16-shot
+        x 1000-class set at 256^2 is ~3 GB... at 100 classes ~300 MB).  The
+        reference has no equivalent (torch DataLoader re-ships every batch,
+        Dassl data_manager.py:202-275); this makes per-step H2D a few
+        hundred bytes of indices, which matters on any deployment where
+        host->device bandwidth is the bottleneck."""
+        mode = str(self.cfg.DATALOADER.DEVICE_RESIDENT).lower()
+        if mode in ("false", "off", "0", "no"):
+            return None
+        if self._device_cache is not None:
+            return self._device_cache
+        wrapper = getattr(self.train_loader_x, "wrapper", None)
+        forced = mode in ("true", "on", "1", "yes")
+        if not getattr(wrapper, "raw_uint8", False):
+            if forced:
+                raise ValueError(
+                    "DATALOADER.DEVICE_RESIDENT=on requires the device-aug "
+                    "raw-uint8 train pipeline (DATALOADER.DEVICE_AUG=True)"
+                )
+            return None
+        n = len(wrapper)
+        nbytes = n * wrapper.pre_size * wrapper.pre_size * 3
+        budget = int(self.cfg.DATALOADER.DEVICE_RESIDENT_BUDGET_MB) << 20
+        if nbytes > budget and not forced:
+            print(
+                f"* device-resident train set disabled: {nbytes >> 20} MB "
+                f"> budget {self.cfg.DATALOADER.DEVICE_RESIDENT_BUDGET_MB} MB"
+            )
+            self.cfg.defrost()
+            self.cfg.DATALOADER.DEVICE_RESIDENT = "off"
+            self.cfg.freeze()
+            return None
+        imgs = wrapper.materialize(
+            num_threads=max(1, self.cfg.DATALOADER.NUM_WORKERS)
+        )
+        from ..parallel.mesh import replicated
+
+        self._device_cache = jax.device_put(imgs, replicated(self.mesh))
+        print(
+            f"* device-resident train set: {n} images x {wrapper.pre_size}^2 "
+            f"({nbytes >> 20} MB) in HBM; per-step H2D is indices only"
+        )
+        return self._device_cache
+
     def run_epoch(self):
         losses = MetricMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         num_batches = len(self.train_loader_x)
         pending = []  # (batch_idx, device metrics) fetched at print frequency
+        cache = self._maybe_device_cache()
 
         def device_batches():
             """H2D one batch ahead so the transfer overlaps the previous
             step's compute."""
             ahead = None
-            for batch in self.train_loader_x:
+            source = (
+                self.train_loader_x.iter_index_batches()
+                if cache is not None
+                else self.train_loader_x
+            )
+            for batch in source:
                 cur = self.parse_batch_train(batch)
                 if ahead is not None:
                     yield ahead
@@ -253,9 +332,15 @@ class SimpleTrainer:
 
     def forward_backward_device(self, device_batch):
         self.rng_key, step_key = jax.random.split(self.rng_key)
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, self.frozen, device_batch, step_key
-        )
+        if "img" not in device_batch:  # index-only batch -> resident gather
+            self.params, self.opt_state, metrics = self._train_step_resident(
+                self.params, self.opt_state, self.frozen, self._device_cache,
+                device_batch, step_key,
+            )
+        else:
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, self.frozen, device_batch, step_key
+            )
         return metrics
 
     def parse_batch_train(self, batch):
