@@ -210,6 +210,75 @@ def main():
     assert all(np.isfinite(l) for l in losses), "non-finite loss in bench"
 
     imgs_per_sec = BATCH * STEPS / dt
+
+    # perf ladder (VERDICT r1 item 10): also report the CACHED_TEACHER step
+    # (opt-in extension that precomputes frozen zs image features once per
+    # epoch) and the end-to-end trainer loop, in the same JSON line.
+    extra = {}
+    if os.environ.get("BENCH_LADDER", "1") == "1":
+        try:
+            zs_img_cached = jax.lax.stop_gradient(
+                l2_normalize(vlp_image_features({}, frozen, clip_cfg, images, dtype))
+            )
+
+            def loss_fn_ct(learnable, frozen, images, labels, zs_img):
+                scale = jnp.exp(frozen["clip"]["logit_scale"])
+                txf = l2_normalize(vlp_text_features(learnable, frozen, clip_cfg, dtype))
+                imf = l2_normalize(
+                    vlp_image_features(learnable, frozen, clip_cfg, images, dtype)
+                )
+                logits = scale * imf @ txf.T
+                zs_logits = scale * zs_img @ frozen["zs_text"].T
+                s = jax.nn.log_softmax(logits, axis=1)
+                t = jax.nn.log_softmax(zs_logits, axis=1)
+                return (
+                    cross_entropy(logits, labels)
+                    + 25.0 * l1_loss(txf, frozen["zs_text"])
+                    + 10.0 * l1_loss(imf, zs_img)
+                    + 1.0 * (jnp.exp(t) * (t - s)).sum() / logits.size
+                )
+
+            @jax.jit
+            def step_ct(learnable, opt_state, frozen, images, labels, zs_img):
+                loss, grads = jax.value_and_grad(loss_fn_ct)(
+                    learnable, frozen, images, labels, zs_img
+                )
+                updates, opt_state = tx.update(grads, opt_state, learnable)
+                return optax.apply_updates(learnable, updates), opt_state, loss
+
+            lc, oc = learnable, opt_state
+            for _ in range(3):
+                lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
+            _ = float(loss)
+            t0 = time.time()
+            for i in range(STEPS):
+                lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
+                if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
+                    assert np.isfinite(float(loss))
+            extra["cached_teacher_img_s"] = round(BATCH * STEPS / (time.time() - t0), 2)
+        except Exception as e:  # never break the headline number
+            extra["cached_teacher_img_s"] = None
+            extra["ladder_note"] = f"cached-teacher failed: {e}"[:200]
+
+        try:
+            import subprocess
+
+            env = dict(os.environ)
+            env.setdefault("BENCH_BATCH", str(BATCH))
+            env.setdefault("BENCH_SHOTS", "64")
+            env.setdefault("BENCH_EPOCHS", "3")
+            r = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                              "tools", "bench_e2e.py")],
+                capture_output=True, text=True, timeout=3000, env=env,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            extra["e2e_img_s"] = json.loads(line)["value"]
+        except Exception as e:
+            extra["e2e_img_s"] = None
+            extra["ladder_note"] = (extra.get("ladder_note", "")
+                                    + f" e2e failed: {e}"[:200]).strip()
+
     print(
         json.dumps(
             {
@@ -217,6 +286,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),
+                **extra,
             }
         )
     )

@@ -142,7 +142,16 @@ class SimpleTrainer:
 
         logits_fn = self.logits_fn
 
-        @jax.jit
+        # multi-host: every host must be able to fetch eval logits, so jit
+        # eval outputs as fully replicated (single-host: unconstrained)
+        if jax.process_count() > 1:
+            from ..parallel.mesh import replicated
+
+            eval_jit = partial(jax.jit, out_shardings=replicated(self.mesh))
+        else:
+            eval_jit = jax.jit
+
+        @eval_jit
         def eval_step(params, frozen, images):
             return logits_fn(params, frozen, images)
 
@@ -181,8 +190,8 @@ class SimpleTrainer:
         # image_logits_fn.
         self._text_step = self._eval_with_txf = None
         if getattr(self, "text_features_fn", None) is not None:
-            self._text_step = jax.jit(self.text_features_fn)
-            self._eval_with_txf = jax.jit(self.image_logits_fn)
+            self._text_step = eval_jit(self.text_features_fn)
+            self._eval_with_txf = eval_jit(self.image_logits_fn)
 
     # ------------------------------------------------------------------ train
     def train(self, start_epoch=None, max_epoch=None):
@@ -201,7 +210,11 @@ class SimpleTrainer:
         else:
             self.resume_model_if_exist(self.output_dir)
         mkdir_if_missing(self.output_dir)
-        self._writer = TensorboardWriter(os.path.join(self.output_dir, "tensorboard"))
+        self._writer = (
+            TensorboardWriter(os.path.join(self.output_dir, "tensorboard"))
+            if jax.process_index() == 0
+            else None
+        )
         self.time_start = time.time()
         # observability extension: FSVLM_PROFILE_DIR captures a jax profiler
         # trace of the whole run (view with tensorboard/xprof); the
@@ -406,9 +419,10 @@ class SimpleTrainer:
 
         for batch in data_loader:
             device_batch = self.parse_batch_test(batch)
-            # shard_batch may pad to the mesh size; use the padded mask/labels
-            valid = np.asarray(device_batch["valid"])
-            labels = np.asarray(device_batch["label"])
+            # host-side mask/labels: shard_batch may pad to the mesh size
+            # (and under multi-host the device batch is not host-addressable)
+            valid = np.asarray(batch["valid"])
+            labels = np.asarray(batch["label"])
             if cached_txf is not None:
                 logits = np.asarray(
                     self._eval_with_txf(
@@ -417,6 +431,7 @@ class SimpleTrainer:
                 )
             else:
                 logits = np.asarray(self.model_inference(device_batch["img"]))
+            logits = logits[: len(valid)]  # drop mesh-padding rows
             self.evaluator.process(logits[valid], labels[valid])
 
         results = self.evaluator.evaluate()
@@ -445,6 +460,8 @@ class SimpleTrainer:
             self.best_result = float(state["best_result"])
 
     def save_model(self, epoch, directory, val_result=None, model_name=""):
+        if jax.process_index() != 0:
+            return  # multi-host: one writer per shared output dir
         save_checkpoint(
             {
                 "state_dict": self.params,

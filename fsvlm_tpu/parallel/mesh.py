@@ -34,11 +34,18 @@ def shard_batch(batch, mesh):
     padded rows never contribute — every train loss masks by batch['valid']
     (trainers/losses.py), so e.g. a batch-4 config on an 8-device mesh
     weights all four examples equally.
+
+    Multi-host (jax.process_count() > 1): samplers are seeded, so every
+    host assembles the identical global batch; each host then feeds ONLY
+    its own contiguous row range to its local chips
+    (jax.make_array_from_process_local_data) — per-host data sharding with
+    no cross-host transfer.
     """
     n = mesh.devices.size
     sharding = data_sharded(mesh)
     b = next(v.shape[0] for k, v in batch.items() if k != "impath")
     pad = (-b) % n
+    pc, pid = jax.process_count(), jax.process_index()
 
     def put(key, x):
         if pad:
@@ -47,6 +54,10 @@ def shard_batch(batch, mesh):
             else:
                 fill = np.repeat(x[-1:], pad, axis=0)
             x = np.concatenate([np.asarray(x), fill], axis=0)
+        if pc > 1:
+            rows = x.shape[0] // pc
+            local = np.asarray(x[pid * rows : (pid + 1) * rows])
+            return jax.make_array_from_process_local_data(sharding, local)
         return jax.device_put(x, sharding)
 
     return {k: put(k, v) for k, v in batch.items() if k != "impath"}

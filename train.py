@@ -144,7 +144,25 @@ def main(args):
     if os.environ.get("FSVLM_MULTIHOST") == "1":
         import jax
 
-        jax.distributed.initialize()
+        coord = os.environ.get("FSVLM_COORDINATOR")
+        if coord:
+            # manual rendezvous (CPU clusters / tests): FSVLM_COORDINATOR=
+            # host:port, FSVLM_NUM_PROCESSES, FSVLM_PROCESS_ID; gloo backs
+            # the collectives on CPU.  (Env check only — touching
+            # jax.default_backend() here would initialize the backend
+            # before the cluster is formed.)
+            if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+                # push the env choice over the axon sitecustomize before the
+                # backend initializes
+                jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            jax.distributed.initialize(
+                coord,
+                num_processes=int(os.environ["FSVLM_NUM_PROCESSES"]),
+                process_id=int(os.environ["FSVLM_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()  # TPU pod: auto-detected
 
     # persistent XLA compile cache — first full-model TPU compile is minutes;
     # every later run with the same shapes is instant
