@@ -138,6 +138,12 @@ def get_cfg_default():
     # (jax.checkpoint) — trades ~30% extra FLOPs for flat activation HBM,
     # enabling much larger per-chip batches
     _C.TRAIN.REMAT = False
+    # TPU extension: with a device-resident train set (single host), run the
+    # WHOLE epoch as one lax.scan dispatch — the per-step host work drops to
+    # zero (no per-step H2D, no dispatch round-trips through a remote-TPU
+    # relay).  auto|on|off; per-batch log lines are reconstructed from the
+    # stacked on-device metrics afterwards.
+    _C.TRAIN.EPOCH_FUSE = "auto"
 
     # ------------------------------------------------------------------- test
     _C.TEST = CN()

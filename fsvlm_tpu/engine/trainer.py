@@ -178,8 +178,39 @@ class SimpleTrainer:
             metrics["loss"] = loss
             return params, opt_state, metrics
 
+        # epoch-fused variant: the whole epoch is ONE dispatch (lax.scan
+        # over the step), fed by an on-device index schedule — on a remote
+        # TPU relay this removes every per-step round-trip; on direct
+        # hardware it removes per-step dispatch overhead.  Per-step rng is
+        # fold_in(epoch_key, step) so fused/unfused trajectories are
+        # identical.
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch_resident(params, opt_state, frozen, cache, sched, epoch_key):
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, step_idx = xs
+                rng = jax.random.fold_in(epoch_key, step_idx)
+                imgs = jax.lax.with_sharding_constraint(
+                    jnp.take(cache, batch["index"], axis=0), ds_sharding
+                )
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, frozen, dict(batch, img=imgs), rng
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics = dict(metrics)
+                metrics["loss"] = loss
+                return (params, opt_state), metrics
+
+            steps = sched["index"].shape[0]
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), (sched, jnp.arange(steps))
+            )
+            return params, opt_state, metrics
+
         self._train_step = train_step
         self._train_step_resident = train_step_resident
+        self._train_epoch_resident = train_epoch_resident
         self._device_cache = None
         self._eval_step = eval_step
 
@@ -277,6 +308,38 @@ class SimpleTrainer:
         )
         return self._device_cache
 
+    def _epoch_key(self):
+        """Per-epoch PRNG base: fold_in(rng_key, epoch).  Per-step keys are
+        fold_in(epoch_key, batch_idx) — identical derivation on the host
+        per-step path and inside the fused epoch scan, and reproducible
+        across resume (rng state is a pure function of the epoch)."""
+        return jax.random.fold_in(self.rng_key, self.epoch)
+
+    def _emit_train_line(self, losses, batch_time, data_time, batch_idx, num_batches):
+        nb_remain = (num_batches - batch_idx - 1) + (
+            self.max_epoch - self.epoch - 1
+        ) * num_batches
+        eta = str(datetime.timedelta(seconds=int(batch_time.avg * nb_remain)))
+        print(
+            f"epoch [{self.epoch + 1}/{self.max_epoch}]"
+            f"[{batch_idx + 1}/{num_batches}]\t"
+            f"time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+            f"data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+            f"{losses}\t"
+            f"lr {self.get_current_lr():.4e}\t"
+            f"eta {eta}"
+        )
+
+    def _record_metrics(self, losses, host, batch_idx, num_batches):
+        if not np.isfinite(host["loss"]):
+            raise FloatingPointError(f"Loss is infinite or NaN: {host}")
+        losses.update(host)
+        if self._writer:
+            n_iter = self.epoch * num_batches + batch_idx
+            for name, meter in losses.meters.items():
+                self._writer.scalar(f"train/{name}", meter.avg, n_iter)
+            self._writer.scalar("train/lr", self.get_current_lr(), n_iter)
+
     def run_epoch(self):
         losses = MetricMeter()
         batch_time = AverageMeter()
@@ -284,6 +347,17 @@ class SimpleTrainer:
         num_batches = len(self.train_loader_x)
         pending = []  # (batch_idx, device metrics) fetched at print frequency
         cache = self._maybe_device_cache()
+
+        fuse_mode = str(self.cfg.TRAIN.get("EPOCH_FUSE", "auto")).lower()
+        if (
+            cache is not None
+            and num_batches > 0
+            and fuse_mode not in ("off", "false", "0", "no")
+            and jax.process_count() == 1
+        ):
+            return self._run_epoch_fused(
+                cache, losses, batch_time, data_time, num_batches
+            )
 
         def device_batches():
             """H2D one batch ahead so the transfer overlaps the previous
@@ -302,11 +376,13 @@ class SimpleTrainer:
             if ahead is not None:
                 yield ahead
 
+        epoch_key = self._epoch_key()
         end = time.time()
         for batch_idx, device_batch in enumerate(device_batches()):
             data_time.update(time.time() - end)
             self.batch_idx = batch_idx
-            metrics = self.forward_backward_device(device_batch)
+            step_key = jax.random.fold_in(epoch_key, batch_idx)
+            metrics = self.forward_backward_device(device_batch, step_key)
             pending.append((batch_idx, metrics))
             batch_time.update(time.time() - end)
 
@@ -315,36 +391,62 @@ class SimpleTrainer:
                 # fetch the on-device metric scalars only now (one sync)
                 for bi, m in pending:
                     host = {k: float(v) for k, v in m.items()}
-                    if not np.isfinite(host["loss"]):
-                        raise FloatingPointError(f"Loss is infinite or NaN: {host}")
-                    losses.update(host)
-                    if self._writer:
-                        n_iter = self.epoch * num_batches + bi
-                        for name, meter in losses.meters.items():
-                            self._writer.scalar(f"train/{name}", meter.avg, n_iter)
-                        self._writer.scalar("train/lr", self.get_current_lr(), n_iter)
+                    self._record_metrics(losses, host, bi, num_batches)
                 pending.clear()
-
-                nb_remain = (num_batches - batch_idx - 1) + (
-                    self.max_epoch - self.epoch - 1
-                ) * num_batches
-                eta = str(datetime.timedelta(seconds=int(batch_time.avg * nb_remain)))
-                print(
-                    f"epoch [{self.epoch + 1}/{self.max_epoch}]"
-                    f"[{batch_idx + 1}/{num_batches}]\t"
-                    f"time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
-                    f"data {data_time.val:.3f} ({data_time.avg:.3f})\t"
-                    f"{losses}\t"
-                    f"lr {self.get_current_lr():.4e}\t"
-                    f"eta {eta}"
+                self._emit_train_line(
+                    losses, batch_time, data_time, batch_idx, num_batches
                 )
             end = time.time()
+
+    def _run_epoch_fused(self, cache, losses, batch_time, data_time, num_batches):
+        """One dispatch per epoch: stack the index schedule, scan on device,
+        reconstruct the standard per-batch log lines from the stacked
+        metrics afterwards."""
+        t0 = time.time()
+        batches = list(self.train_loader_x.iter_index_batches())
+        keys = ("label", "domain", "index", "valid")
+        sched_np = {k: np.stack([b[k] for b in batches]) for k in keys}
+        # pad the batch axis to the mesh size exactly like shard_batch
+        n = self.mesh.devices.size
+        B = sched_np["index"].shape[1]
+        pad = (-B) % n
+        if pad:
+            for k in keys:
+                x = sched_np[k]
+                fill = (
+                    np.zeros((x.shape[0], pad) + x.shape[2:], dtype=x.dtype)
+                    if k == "valid"
+                    else np.repeat(x[:, -1:], pad, axis=1)
+                )
+                sched_np[k] = np.concatenate([x, fill], axis=1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sched_sharding = NamedSharding(self.mesh, P(None, "data"))
+        sched = {k: jax.device_put(v, sched_sharding) for k, v in sched_np.items()}
+        data_time.update(time.time() - t0)
+
+        self.params, self.opt_state, metrics = self._train_epoch_resident(
+            self.params, self.opt_state, self.frozen, cache, sched,
+            self._epoch_key(),
+        )
+        host_metrics = {k: np.asarray(v) for k, v in metrics.items()}  # sync
+        dt = time.time() - t0
+        per_step = max(dt - data_time.val, 0.0) / num_batches
+
+        for bi in range(num_batches):
+            self.batch_idx = bi
+            batch_time.update(per_step + (data_time.val if bi == 0 else 0.0))
+            host = {k: float(v[bi]) for k, v in host_metrics.items()}
+            self._record_metrics(losses, host, bi, num_batches)
+            if (bi + 1) % self.cfg.TRAIN.PRINT_FREQ == 0 or bi + 1 == num_batches:
+                self._emit_train_line(losses, batch_time, data_time, bi, num_batches)
 
     def forward_backward(self, batch):
         return self.forward_backward_device(self.parse_batch_train(batch))
 
-    def forward_backward_device(self, device_batch):
-        self.rng_key, step_key = jax.random.split(self.rng_key)
+    def forward_backward_device(self, device_batch, step_key=None):
+        if step_key is None:  # direct callers outside run_epoch
+            self.rng_key, step_key = jax.random.split(self.rng_key)
         if "img" not in device_batch:  # index-only batch -> resident gather
             self.params, self.opt_state, metrics = self._train_step_resident(
                 self.params, self.opt_state, self.frozen, self._device_cache,

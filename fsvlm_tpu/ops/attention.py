@@ -12,6 +12,7 @@ kernel for long sequences lives in fsvlm_tpu.ops.flash_attention and is
 selected automatically above a sequence-length threshold.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -70,17 +71,23 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
                 else:
                     v = v + delta
 
-    def split_heads(t):
-        return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
-
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-
     # fused Pallas kernel on TPU, XLA einsum path elsewhere; fp32
     # logits+softmax either way for parity with torch's fp32 path
     from .flash_attention import attention_dispatch
 
-    out = attention_dispatch(q, k, v, mask)
-    ctx = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    if os.environ.get("FSVLM_ATTN_BLHD") == "1":
+        # layout experiment: keep heads minor, no transposes around the
+        # attention contractions (same math, different XLA layouts)
+        qh = q.reshape(B, L, n_heads, head_dim)
+        kh = k.reshape(B, L, n_heads, head_dim)
+        vh = v.reshape(B, L, n_heads, head_dim)
+        ctx = attention_dispatch(qh, kh, vh, mask, layout="blhd").reshape(B, L, D)
+    else:
+        def split_heads(t):
+            return t.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+        out = attention_dispatch(split_heads(q), split_heads(k), split_heads(v), mask)
+        ctx = out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
     out = ctx @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
     if lora_delta is not None and "o" in lora_delta:

@@ -216,9 +216,28 @@ import os as _os
 # implementation, reachable via FSVLM_FORCE_PALLAS=1.
 
 
-def attention_dispatch(q, k, v, mask=None):
+def _reference_attention_blhd(q, k, v, mask, scale):
+    """Same math as _reference_attention but head-minor (B, L, H, d) input/
+    output — no explicit head transposes; the contraction layouts are given
+    to dot_general directly (layout experiment, FSVLM_ATTN_BLHD=1)."""
+    low_prec = (
+        q.dtype == jnp.bfloat16 and _os.environ.get("FSVLM_ATTN_BF16") != "0"
+    )
+    acc_t = q.dtype if low_prec else jnp.float32
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=acc_t) * scale
+    if mask is not None:
+        s = s + mask.astype(acc_t)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype) if not low_prec \
+        else jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def attention_dispatch(q, k, v, mask=None, layout="bhld"):
     """XLA fused attention by default; FSVLM_FORCE_PALLAS=1 forces the
-    Pallas kernel (interpret mode off-TPU, for testing)."""
+    Pallas kernel (interpret mode off-TPU, for testing).  layout="blhd"
+    takes/returns head-minor tensors without transposition."""
+    if layout == "blhd":
+        return _reference_attention_blhd(q, k, v, mask, q.shape[-1] ** -0.5)
     if _os.environ.get("FSVLM_FORCE_PALLAS") == "1":
         return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
     scale = q.shape[-1] ** -0.5
