@@ -1,0 +1,66 @@
+"""SimpleNet: backbone + optional mlp head + linear classifier.
+
+Functional rebuild of the reference's generic classification network
+(Dassl.pytorch/dassl/engine/trainer.py:22-77 SimpleNet and
+dassl/modeling/head/mlp.py): pytrees in, (logits | features, new_state)
+out.  This is the model every DA/DG/SSL trainer builds.
+"""
+
+import numpy as np
+
+from .backbones import build_backbone
+from .backbones.common import bn_apply, bn_init, linear_apply, linear_init, relu
+
+
+class SimpleNet:
+    def __init__(self, cfg, model_cfg, num_classes, seed=0, **kwargs):
+        self.backbone = build_backbone(
+            model_cfg.BACKBONE.NAME, verbose=cfg.VERBOSE, seed=seed, **kwargs
+        )
+        fdim = self.backbone.out_features
+        rng = np.random.RandomState(seed + 1)
+
+        params = {"backbone": self.backbone.params}
+        state = {"backbone": self.backbone.state}
+
+        self.head_layers = []
+        head_cfg = getattr(model_cfg, "HEAD", None)
+        if head_cfg is not None and head_cfg.NAME and list(head_cfg.HIDDEN_LAYERS):
+            hp, hs = {}, {}
+            cin = fdim
+            for i, width in enumerate(head_cfg.HIDDEN_LAYERS):
+                hp[f"fc{i}"] = linear_init(rng, cin, width)
+                if head_cfg.BN:
+                    hp[f"bn{i}"], hs[f"bn{i}"] = bn_init(width)
+                self.head_layers.append((i, bool(head_cfg.BN)))
+                cin = width
+            params["head"], state["head"] = hp, hs
+            fdim = cin
+
+        if num_classes > 0:
+            params["classifier"] = linear_init(rng, fdim, num_classes)
+
+        self.fdim = fdim
+        self.params, self.state = params, state
+
+    def apply(self, params, state, x, train=False, return_feature=False):
+        f, bb_state = self.backbone.apply(
+            params["backbone"], state["backbone"], x, train
+        )
+        new_state = dict(state, backbone=bb_state)
+        if self.head_layers:
+            hp = params["head"]
+            hs = state["head"]
+            nhs = {}
+            for i, use_bn in self.head_layers:
+                f = linear_apply(f, hp[f"fc{i}"])
+                if use_bn:
+                    f, nhs[f"bn{i}"] = bn_apply(f, hp[f"bn{i}"], hs[f"bn{i}"], train)
+                f = relu(f)
+            new_state["head"] = nhs
+        if "classifier" not in params:
+            return f, new_state
+        logits = linear_apply(f, params["classifier"])
+        if return_feature:
+            return (logits, f), new_state
+        return logits, new_state

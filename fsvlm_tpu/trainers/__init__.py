@@ -7,3 +7,4 @@ from .maple import MaPLe  # noqa: F401
 from .plip import PLIP  # noqa: F401
 from .promptsrc import PromptSRC  # noqa: F401
 from .zsclip import ZeroshotCLIP, ZeroshotCLIP2  # noqa: F401
+from . import zoo  # noqa: F401 (DA/DG/SSL trainer registration)
