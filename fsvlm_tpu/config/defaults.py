@@ -53,6 +53,10 @@ def get_cfg_default():
     _C.DATASET.NUM_SHOTS = -1
     _C.DATASET.VAL_PERCENT = 0.1
     _C.DATASET.ALL_AS_UNLABELED = False
+    # legacy zoo keys (dassl defaults.py:76-88)
+    _C.DATASET.STL10_FOLD = -1
+    _C.DATASET.CIFAR_C_TYPE = ""
+    _C.DATASET.CIFAR_C_LEVEL = 1
     # fork keys
     _C.DATASET.SUBSAMPLE_CLASSES = "all"  # all, base or new
     _C.DATASET.PER_CLASS_SHOTS = []  # used when NUM_SHOTS < 0 (imbalanced protocol)

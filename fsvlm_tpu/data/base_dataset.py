@@ -71,6 +71,22 @@ class DatasetBase:
         labels = sorted(mapping)
         return mapping, [mapping[l] for l in labels]
 
+    def check_input_domains(self, source_domains, target_domains):
+        """Validate SOURCE/TARGET_DOMAINS against self.domains (parity:
+        dassl base_dataset.py:122-134)."""
+        assert len(source_domains) > 0, "source_domains (list) is empty"
+        assert len(target_domains) > 0, "target_domains (list) is empty"
+        self.is_input_domain_valid(source_domains)
+        self.is_input_domain_valid(target_domains)
+
+    def is_input_domain_valid(self, input_domains):
+        for domain in input_domains:
+            if domain not in self.domains:
+                raise ValueError(
+                    f"Input domain must belong to {self.domains}, "
+                    f"but got [{domain}]"
+                )
+
     @staticmethod
     def download_data_from_gdrive(url, dst, extract=True):
         """Download a dataset archive and optionally extract it next to dst.

@@ -114,6 +114,11 @@ class DataManager:
         )
 
         self._num_classes = dataset.num_classes
+        # reference parity (Dassl data_manager.py:73-79): source-domain count
+        # for the DA/DG trainers that build per-domain experts
+        self._num_source_domains = len(cfg.DATASET.SOURCE_DOMAINS) or (
+            max((d.domain for d in dataset.train_x), default=0) + 1
+        )
         self._lab2cname = dataset.lab2cname
         # fork extension: full (unsubsampled) class-name map when the plugin
         # provides one (FGVCAircraft.lab2cname_full)
@@ -123,6 +128,7 @@ class DataManager:
             self.show_dataset_summary(cfg)
 
     num_classes = property(lambda self: self._num_classes)
+    num_source_domains = property(lambda self: self._num_source_domains)
     lab2cname = property(lambda self: self._lab2cname)
     lab2cname_all = property(lambda self: self._lab2cname_all)
 

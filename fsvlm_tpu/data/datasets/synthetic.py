@@ -143,7 +143,7 @@ class SyntheticDA(DatasetBase):
 
         sources = list(cfg.DATASET.SOURCE_DOMAINS) or ["d0", "d1"]
         targets = list(cfg.DATASET.TARGET_DOMAINS)
-        self.check_input_domains = None  # fixture: any subset is fine
+        self.is_input_domain_valid(sources + targets)
         train_x = make_split("train", sources, self.TRAIN_PER_CLASS)
         train_u = make_split("u", targets, self.TRAIN_PER_CLASS) if targets else None
         eval_domains = targets or sources

@@ -112,18 +112,22 @@ def make_lr_schedule(cfg, steps_per_epoch):
     return schedule
 
 
-def build_optimizer(cfg, steps_per_epoch, param_labels=None, lr_mult=None):
+def build_optimizer(cfg, steps_per_epoch, param_labels=None, lr_mult=None,
+                    schedule_override=None):
     """optax transform matching dassl build_optimizer (optimizer.py:13-142).
 
     Weight decay follows torch semantics (decay added to the gradient before
     momentum).  staged-lr (NEW_LAYERS/BASE_LR_MULT) is realized with
     optax.multi_transform when param_labels/lr_mult are given.
+    schedule_override replaces the dassl epoch staircase with a custom
+    lr(step) (CDAC's per-iteration LambdaLR annealing, da/cdac.py:18-25).
     """
     name = cfg.OPTIM.NAME
     if name not in AVAI_OPTIMS:
         raise ValueError(f"Unknown OPTIM.NAME: {name} (choices {AVAI_OPTIMS})")
 
-    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    schedule = (schedule_override if schedule_override is not None
+                else make_lr_schedule(cfg, steps_per_epoch))
     wd = cfg.OPTIM.WEIGHT_DECAY
     momentum = cfg.OPTIM.MOMENTUM
     b1, b2 = cfg.OPTIM.ADAM_BETA1, cfg.OPTIM.ADAM_BETA2

@@ -88,6 +88,7 @@ class SimpleTrainer:
         self.val_loader = dm.val_loader
         self.test_loader = dm.test_loader
         self.num_classes = dm.num_classes
+        self.num_source_domains = dm.num_source_domains
         self.lab2cname = dm.lab2cname
 
     def build_model(self):

@@ -19,7 +19,7 @@ class Backbone:
     params = None
     state = None
 
-    def apply(self, params, state, x, train=False):
+    def apply(self, params, state, x, train=False, rng=None):
         raise NotImplementedError
 
 

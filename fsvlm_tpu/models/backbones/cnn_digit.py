@@ -47,7 +47,7 @@ class CnnDigitsDG(Backbone):
         self.state = {}
         self.out_features = c_hidden * 2 * 2
 
-    def apply(self, params, state, x, train=False):
+    def apply(self, params, state, x, train=False, rng=None):
         h = x
         for i in range(4):
             h = relu(_conv_b(h, params[f"conv{i}"], padding=1))
@@ -70,7 +70,7 @@ class CnnDigitSingle(Backbone):
         }
         self.state = {}
 
-    def apply(self, params, state, x, train=False):
+    def apply(self, params, state, x, train=False, rng=None):
         h = max_pool(relu(_conv_b(x, params["conv1"], padding=0)), 2, 2, 0)
         h = max_pool(relu(_conv_b(h, params["conv2"], padding=0)), 2, 2, 0)
         h = h.reshape(h.shape[0], -1)
@@ -96,7 +96,9 @@ class CnnDigit5M3SDA(Backbone):
             p[name], s[name] = bn_init(c)
         self.params, self.state = p, s
 
-    def apply(self, params, state, x, train=False, dropout_rng=None):
+    def apply(self, params, state, x, train=False, rng=None, dropout_rng=None):
+        if dropout_rng is None:
+            dropout_rng = rng
         ns = {}
         h = _conv_b(x, params["conv1"], padding=2)
         h, ns["bn1"] = bn_apply(h, params["bn1"], state["bn1"], train)

@@ -79,12 +79,22 @@ def _apply_block(x, p, s, kind, stride, train):
 
 class ResNetBackbone(Backbone):
     """Functional ResNet; ``apply(params, state, x, train)`` ->
-    (features (B, fdim), new_state)."""
+    (features (B, fdim), new_state).
 
-    def __init__(self, kind, layers, seed=0):
+    ms_layers/ms_class insert a style mixer (MixStyle or EFDMix,
+    models/modeling_ops.py) after the named stages — the reference's DG
+    resnet variants (dassl backbone/resnet.py:283-594).  Stochastic mixing
+    needs an ``rng``: calling a style variant in train mode without one
+    raises instead of silently skipping the augmentation."""
+
+    def __init__(self, kind, layers, seed=0, ms_layers=(), ms_class="mixstyle",
+                 ms_p=0.5, ms_a=0.1):
         self.kind = kind
         self.layers = layers
         self.out_features = 512 * _EXPANSION[kind]
+        self.ms_layers = tuple(ms_layers)
+        self.ms_class = ms_class
+        self.ms_p, self.ms_a = ms_p, ms_a
         rng = np.random.RandomState(seed)
         p, s = {}, {}
         p["conv1"] = conv_init(rng, 7, 7, 3, 64)
@@ -101,14 +111,35 @@ class ResNetBackbone(Backbone):
                 cin = width * _EXPANSION[kind]
         self.params, self.state = p, s
 
-    def apply(self, params, state, x, train=False):
+    def _mix(self, h, rng, stage_idx):
+        import jax
+
+        from ..modeling_ops import efdmix, mixstyle
+
+        k = jax.random.fold_in(rng, stage_idx)
+        fn = mixstyle if self.ms_class == "mixstyle" else efdmix
+        return fn(k, h, p=self.ms_p, alpha=self.ms_a)
+
+    def apply(self, params, state, x, train=False, rng=None):
+        if self.ms_layers and train and rng is None:
+            raise ValueError(
+                f"{self.ms_class} backbone needs an rng in train mode "
+                "(pass rng= through SimpleNet.apply)")
         ns = {}
         h = conv_apply(x, params["conv1"], stride=2, padding=3)
         h, ns["bn1"] = bn_apply(h, params["bn1"], state["bn1"], train)
         h = relu(h)
         h = max_pool(h, 3, 2, 1)
-        for key, stride in self._strides:
+        stage_of = lambda key: key.split("_")[0]  # noqa: E731
+        last_in_stage = {}
+        for key, _ in self._strides:
+            last_in_stage[stage_of(key)] = key
+        for i, (key, stride) in enumerate(self._strides):
             h, ns[key] = _apply_block(h, params[key], state[key], self.kind, stride, train)
+            stage = stage_of(key)
+            if (train and stage in self.ms_layers
+                    and last_in_stage[stage] == key):
+                h = self._mix(h, rng, i)
         return avg_pool_global(h), ns
 
 
@@ -184,3 +215,39 @@ def resnet50(seed=0, **kw):
 @BACKBONE_REGISTRY.register()
 def resnet101(seed=0, **kw):
     return ResNetBackbone(BLOCK_BOTTLENECK, [3, 4, 23, 3], seed)
+
+
+@BACKBONE_REGISTRY.register()
+def resnet152(seed=0, **kw):
+    return ResNetBackbone(BLOCK_BOTTLENECK, [3, 8, 36, 3], seed)
+
+
+_ARCH = {"resnet18": (BLOCK_BASIC, [2, 2, 2, 2]),
+         "resnet50": (BLOCK_BOTTLENECK, [3, 4, 6, 3]),
+         "resnet101": (BLOCK_BOTTLENECK, [3, 4, 23, 3])}
+
+
+def _register_style_variants():
+    """MixStyle/EFDMix resnet variants (dassl backbone/resnet.py:283-594):
+    resnet{18,50,101}_{ms,efdmix}_l{123,12,1}."""
+    for arch, (kind, layers) in _ARCH.items():
+        for ms_class, tag in (("mixstyle", "ms"), ("efdmix", "efdmix")):
+            for stages_tag, stages in (("l123", ("layer1", "layer2", "layer3")),
+                                       ("l12", ("layer1", "layer2")),
+                                       ("l1", ("layer1",))):
+                name = f"{arch}_{tag}_{stages_tag}"
+
+                def make(kind=kind, layers=layers, stages=stages,
+                         ms_class=ms_class):
+                    def build(seed=0, **kw):
+                        return ResNetBackbone(kind, layers, seed,
+                                              ms_layers=stages,
+                                              ms_class=ms_class)
+                    return build
+
+                fn = make()
+                fn.__name__ = name
+                BACKBONE_REGISTRY.register(fn)
+
+
+_register_style_variants()

@@ -46,7 +46,7 @@ class WideResNet(Backbone):
         self.params, self.state = p, s
         self.out_features = cin
 
-    def apply(self, params, state, x, train=False):
+    def apply(self, params, state, x, train=False, rng=None):
         ns = {}
         h = conv_apply(x, params["conv1"], stride=1, padding=1)
         for key, stride, proj in self._blocks:

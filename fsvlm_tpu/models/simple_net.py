@@ -43,9 +43,11 @@ class SimpleNet:
         self.fdim = fdim
         self.params, self.state = params, state
 
-    def apply(self, params, state, x, train=False, return_feature=False):
+    def apply(self, params, state, x, train=False, return_feature=False,
+              rng=None):
+        bb_kw = {"rng": rng} if rng is not None else {}
         f, bb_state = self.backbone.apply(
-            params["backbone"], state["backbone"], x, train
+            params["backbone"], state["backbone"], x, train, **bb_kw
         )
         new_state = dict(state, backbone=bb_state)
         if self.head_layers:

@@ -1,4 +1,4 @@
 """DA/DG/SSL trainer zoo (Dassl.pytorch/dassl/engine/{da,dg,ssl} rebuilt
 TPU-native).  Importing this package registers every zoo trainer."""
 
-from . import ssl  # noqa: F401
+from . import da, dg, ssl  # noqa: F401

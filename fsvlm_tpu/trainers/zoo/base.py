@@ -56,9 +56,17 @@ def accuracy(logits, labels, valid=None):
 
 
 class NetTrainerX(SimpleTrainer):
-    """Labeled-only zoo base (TrainerX equivalent)."""
+    """Labeled-only zoo base (TrainerX equivalent).
+
+    Multi-model methods (MCD's F/C1/C2, DANN's net/critic, ...) set
+    ``self.param_groups`` to the top-level keys of ``self.params``; each
+    group then gets its own optimizer state (the reference registers one
+    torch optimizer per model, dassl trainer.py:86-116) and ``step_core``
+    updates groups independently via ``self.group_update``.
+    """
 
     model_name = "model"
+    param_groups = None  # subclass: list of top-level param keys, or None
 
     def build_model(self):
         cfg = self.cfg
@@ -81,16 +89,59 @@ class NetTrainerX(SimpleTrainer):
         """Subclass hook: extend params/state/extra and set self.step_core."""
         raise NotImplementedError
 
-    def net_apply(self, params, state, x, train):
+    def use_feature_net(self):
+        """Replace the default classifier-carrying net with a pure feature
+        extractor (the reference's SimpleNet(cfg, MODEL, 0) used by MCD,
+        MME, M3SDA, CDAC, DAEL which own their classifier heads)."""
+        cfg = self.cfg
+        self.net = SimpleNet(cfg, cfg.MODEL, 0, seed=max(cfg.SEED, 0))
+        self.params = {"net": self.net.params}
+        self.model_state = {"net": self.net.state}
+
+    def net_apply(self, params, state, x, train, rng=None):
         """Apply the main net inside step_core (returns logits, new net state)."""
-        logits, ns = self.net.apply(params["net"], state["net"], x, train=train)
+        kw = {"rng": rng} if rng is not None else {}
+        logits, ns = self.net.apply(params["net"], state["net"], x,
+                                    train=train, **kw)
         return logits, dict(state, net=ns)
+
+    def finalize_method(self):
+        """Hook that runs after MODEL.INIT_WEIGHTS is applied but before the
+        step compiles — for methods that snapshot the (possibly loaded)
+        initial params (ADDA's frozen source model, AdaBN's stat reset)."""
+
+    def _build_optimizer(self):
+        from ...engine.optim import build_optimizer
+
+        self.steps_per_epoch = max(
+            self._num_batches() if hasattr(self, "_num_batches")
+            else len(self.train_loader_x), 1)
+        self.tx, self.lr_schedule = build_optimizer(self.cfg, self.steps_per_epoch)
+        if self.param_groups is None:
+            self.opt_state = self.tx.init(self.params)
+        else:
+            # one optimizer state per model group (the reference registers a
+            # torch optimizer per model, dassl trainer.py:86-116)
+            self.opt_state = {
+                g: self.tx.init(self.params[g]) for g in self.param_groups
+            }
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        print(f"# params to be updated: {n_params:,}")
+
+    def group_update(self, grads_g, opt_state_g, params_g):
+        """One optimizer step for a single param group (inside step_core)."""
+        import optax
+
+        updates, new_os = self.tx.update(grads_g, opt_state_g, params_g)
+        return optax.apply_updates(params_g, updates), new_os
 
     # ------------------------------------------------------------------ jit
     def _compile_steps(self):
+        self.finalize_method()
         self.params = replicate(self.params, self.mesh)
         self.model_state = replicate(self.model_state, self.mesh)
         self.extra = replicate(self.extra, self.mesh)
+        self.frozen = replicate(self.frozen, self.mesh)
         self.opt_state = replicate(self.opt_state, self.mesh)
 
         step_core = self.step_core
@@ -161,17 +212,6 @@ class NetTrainerXU(NetTrainerX):
         if count == "smaller_one":
             return min(len_x, len_u)
         raise ValueError(count)
-
-    def _build_optimizer(self):
-        # COUNT_ITER drives steps/epoch for the LR schedule, like the
-        # reference's TrainerXU.run_epoch
-        from ...engine.optim import build_optimizer
-
-        self.steps_per_epoch = max(self._num_batches(), 1)
-        self.tx, self.lr_schedule = build_optimizer(self.cfg, self.steps_per_epoch)
-        self.opt_state = self.tx.init(self.params)
-        n_params = sum(x.size for x in jax.tree.leaves(self.params))
-        print(f"# params to be updated: {n_params:,}")
 
     def run_epoch(self):
         losses = MetricMeter()

@@ -48,6 +48,71 @@ def ema_update(student, teacher, alpha):
     return jax.tree.map(lambda t, s: alpha * t + (1.0 - alpha) * s, teacher, student)
 
 
+def bce_logits(logits, targets, valid=None):
+    """BCEWithLogitsLoss (mean) with optional row mask."""
+    per = optax_sigmoid_bce(logits, targets)
+    per = per.reshape(per.shape[0], -1).mean(1)
+    if valid is None:
+        return per.mean()
+    w = valid.astype(per.dtype)
+    return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def optax_sigmoid_bce(logits, labels):
+    l = logits.astype(jnp.float32)
+    return jnp.maximum(l, 0.0) - l * labels + jnp.log1p(jnp.exp(-jnp.abs(l)))
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def mlp_head_init(rng, in_features, hidden_layers, bn=True):
+    """Functional dassl mlp head (dassl/modeling/head/mlp.py):
+    [Linear -> BN1d -> activation] per hidden layer.
+    Returns (params, state, out_features)."""
+    from ...models.backbones.common import bn_init, linear_init
+
+    params, state = {}, {}
+    cin = in_features
+    for i, width in enumerate(hidden_layers):
+        params[f"fc{i}"] = linear_init(rng, cin, width)
+        if bn:
+            params[f"bn{i}"], state[f"bn{i}"] = bn_init(width)
+        cin = width
+    return params, state, cin
+
+
+def mlp_head_apply(x, params, state, train, n_layers, act=leaky_relu):
+    from ...models.backbones.common import bn_apply, linear_apply
+
+    new_state = {}
+    for i in range(n_layers):
+        x = linear_apply(x, params[f"fc{i}"])
+        if f"bn{i}" in params:
+            x, new_state[f"bn{i}"] = bn_apply(
+                x, params[f"bn{i}"], state[f"bn{i}"], train
+            )
+        x = act(x)
+    return x, new_state
+
+
+def prototypes_init(rng, fdim, num_classes):
+    """MME/CDAC cosine prototype classifier (bias-free linear over
+    L2-normalized features, temperature 0.05)."""
+    from ...models.backbones.common import linear_init
+
+    p = linear_init(rng, fdim, num_classes)
+    return {"w": p["w"]}
+
+
+def prototypes_apply(x, params, temp=0.05, reverse=False, lmda=1.0):
+    if reverse:
+        x = grad_reverse(x, jnp.float32(lmda))
+    x = x * jax.lax.rsqrt((x * x).sum(-1, keepdims=True) + 1e-12)
+    return (x @ params["w"].astype(x.dtype)) / temp
+
+
 @jax.custom_vjp
 def grad_reverse(x, lmda):
     """Gradient reversal layer (dassl ops/reverse_grad.py): identity fwd,

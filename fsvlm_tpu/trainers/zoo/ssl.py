@@ -108,8 +108,10 @@ class MeanTeacher(NetTrainerXU):
         net_apply = self.net_apply
 
         self.extra = {
-            "teacher": jax.tree.map(jnp.asarray, self.params["net"]),
-            "teacher_state": jax.tree.map(jnp.asarray, self.model_state["net"]),
+            "teacher": jax.tree.map(
+                lambda x: jnp.array(x, copy=True), self.params["net"]),
+            "teacher_state": jax.tree.map(
+                lambda x: jnp.array(x, copy=True), self.model_state["net"]),
         }
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
@@ -228,21 +230,31 @@ class MixMatch(NetTrainerXU):
 
 
 class _WeakStrongWrapper(DatasetWrapper):
-    """img = weak view, img2 = strong view (reference custom_tfm_train
-    list, fixmatch.py:28-35)."""
+    """img = weak view(s), img2 = strong view(s) (reference custom_tfm_train
+    list, fixmatch.py:28-35; with k=2 this is CDAC's dual-K layout where
+    both pipelines produce K stacked views, data_manager.py:265-275)."""
 
-    def __init__(self, data_source, tfm_weak, tfm_strong, seed=None):
+    def __init__(self, data_source, tfm_weak, tfm_strong, seed=None, k=1):
         super().__init__(data_source, tfm_weak, seed=seed)
         self.tfm_strong = tfm_strong
+        self.k = k
 
     def __getitem__(self, idx):
+        import numpy as np
+
         item = self.data_source[idx]
         img = self._get_image(idx)
         rng = self._item_rng(idx)
         kw = {"rng": rng} if rng is not None else {}
+        if self.k > 1:
+            weak = np.stack([self.transform(img, **kw) for _ in range(self.k)])
+            strong = np.stack([self.tfm_strong(img, **kw) for _ in range(self.k)])
+        else:
+            weak = self.transform(img, **kw)
+            strong = self.tfm_strong(img, **kw)
         return {
-            "img": self.transform(img, **kw),
-            "img2": self.tfm_strong(img, **kw),
+            "img": weak,
+            "img2": strong,
             "label": item.label,
             "domain": item.domain,
             "index": idx,

@@ -54,6 +54,10 @@ def reset_cfg(cfg, args):
         cfg.RESUME = args.resume
     if args.seed is not None:
         cfg.SEED = args.seed
+    if args.source_domains:
+        cfg.DATASET.SOURCE_DOMAINS = args.source_domains
+    if args.target_domains:
+        cfg.DATASET.TARGET_DOMAINS = args.target_domains
     if args.transforms:
         cfg.INPUT.TRANSFORMS = args.transforms
     if args.trainer:
@@ -215,6 +219,10 @@ def build_argparser():
     parser.add_argument("--trainer", type=str, default="", help="name of trainer")
     parser.add_argument("--backbone", type=str, default="", help="name of CLIP backbone")
     parser.add_argument("--head", type=str, default="", help="name of head")
+    parser.add_argument("--source-domains", type=str, nargs="+",
+                        help="source domains for DA/DG")
+    parser.add_argument("--target-domains", type=str, nargs="+",
+                        help="target domains for DA/DG")
     parser.add_argument("--transforms", type=str, nargs="+", help="data augmentation methods")
     parser.add_argument("--eval-only", action="store_true", help="evaluation only")
     parser.add_argument("--model-dir", type=str, default="", help="load model for eval-only from this directory")
