@@ -30,4 +30,10 @@ def build_backbone(name, verbose=False, **kwargs):
     return backbone
 
 
-from . import cnn_digit, resnet, wide_resnet  # noqa: E402,F401  (register)
+from . import (  # noqa: E402,F401  (register)
+    cnn_digit,
+    efficientnet,
+    misc,
+    resnet,
+    wide_resnet,
+)
