@@ -31,19 +31,31 @@ BLOCK_BOTTLENECK = "bottleneck"
 _EXPANSION = {BLOCK_BASIC: 1, BLOCK_BOTTLENECK: 4}
 
 
-def _init_block(rng, kind, cin, width, stride, zero_init_residual=False):
-    """One residual block's (params, state)."""
+def _init_block(rng, kind, cin, width, stride, zero_init_residual=False,
+                dynamic=False):
+    """One residual block's (params, state).  dynamic=True swaps the 3x3
+    convs for Conv2dDynamic (DDG, dassl backbone/resnet_dynamic.py:256-376)
+    with the attention computed on the block input."""
+    from ..modeling_ops import conv2d_dynamic_init
+
+    def conv3x3(ci, co):
+        if dynamic:
+            return conv2d_dynamic_init(rng, ci, co, 3,
+                                       squeeze=max(cin // 16, 4),
+                                       attention_in_channels=cin)
+        return conv_init(rng, 3, 3, ci, co)
+
     p, s = {}, {}
     cout = width * _EXPANSION[kind]
     if kind == BLOCK_BASIC:
-        p["conv1"] = conv_init(rng, 3, 3, cin, width)
+        p["conv1"] = conv3x3(cin, width)
         p["bn1"], s["bn1"] = bn_init(width)
-        p["conv2"] = conv_init(rng, 3, 3, width, width)
+        p["conv2"] = conv3x3(width, width)
         p["bn2"], s["bn2"] = bn_init(width, zero_scale=zero_init_residual)
     else:
         p["conv1"] = conv_init(rng, 1, 1, cin, width)
         p["bn1"], s["bn1"] = bn_init(width)
-        p["conv2"] = conv_init(rng, 3, 3, width, width)
+        p["conv2"] = conv3x3(width, width)
         p["bn2"], s["bn2"] = bn_init(width)
         p["conv3"] = conv_init(rng, 1, 1, width, cout)
         p["bn3"], s["bn3"] = bn_init(cout, zero_scale=zero_init_residual)
@@ -53,20 +65,28 @@ def _init_block(rng, kind, cin, width, stride, zero_init_residual=False):
     return p, s
 
 
-def _apply_block(x, p, s, kind, stride, train):
+def _apply_block(x, p, s, kind, stride, train, dynamic=False):
+    from ..modeling_ops import conv2d_dynamic_apply
+
+    def conv3x3(h, cp, st):
+        if dynamic:
+            # attention over the BLOCK input (resnet_dynamic.py:297-303)
+            return conv2d_dynamic_apply(h, cp, stride=st, attention_x=x)
+        return conv_apply(h, cp, stride=st, padding=1)
+
     ns = {}
     identity = x
     if kind == BLOCK_BASIC:
-        h = conv_apply(x, p["conv1"], stride=stride, padding=1)
+        h = conv3x3(x, p["conv1"], stride)
         h, ns["bn1"] = bn_apply(h, p["bn1"], s["bn1"], train)
         h = relu(h)
-        h = conv_apply(h, p["conv2"], stride=1, padding=1)
+        h = conv3x3(h, p["conv2"], 1)
         h, ns["bn2"] = bn_apply(h, p["bn2"], s["bn2"], train)
     else:
         h = conv_apply(x, p["conv1"], stride=1, padding=0)
         h, ns["bn1"] = bn_apply(h, p["bn1"], s["bn1"], train)
         h = relu(h)
-        h = conv_apply(h, p["conv2"], stride=stride, padding=1)
+        h = conv3x3(h, p["conv2"], stride)
         h, ns["bn2"] = bn_apply(h, p["bn2"], s["bn2"], train)
         h = relu(h)
         h = conv_apply(h, p["conv3"], stride=1, padding=0)
@@ -88,9 +108,10 @@ class ResNetBackbone(Backbone):
     raises instead of silently skipping the augmentation."""
 
     def __init__(self, kind, layers, seed=0, ms_layers=(), ms_class="mixstyle",
-                 ms_p=0.5, ms_a=0.1):
+                 ms_p=0.5, ms_a=0.1, dynamic=False):
         self.kind = kind
         self.layers = layers
+        self.dynamic = dynamic
         self.out_features = 512 * _EXPANSION[kind]
         self.ms_layers = tuple(ms_layers)
         self.ms_class = ms_class
@@ -106,7 +127,8 @@ class ResNetBackbone(Backbone):
             for b in range(n_blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 key = f"layer{stage + 1}_{b}"
-                p[key], s[key] = _init_block(rng, kind, cin, width, stride)
+                p[key], s[key] = _init_block(rng, kind, cin, width, stride,
+                                             dynamic=dynamic)
                 self._strides.append((key, stride))
                 cin = width * _EXPANSION[kind]
         self.params, self.state = p, s
@@ -135,7 +157,8 @@ class ResNetBackbone(Backbone):
         for key, _ in self._strides:
             last_in_stage[stage_of(key)] = key
         for i, (key, stride) in enumerate(self._strides):
-            h, ns[key] = _apply_block(h, params[key], state[key], self.kind, stride, train)
+            h, ns[key] = _apply_block(h, params[key], state[key], self.kind,
+                                      stride, train, dynamic=self.dynamic)
             stage = stage_of(key)
             if (train and stage in self.ms_layers
                     and last_in_stage[stage] == key):
@@ -229,25 +252,29 @@ _ARCH = {"resnet18": (BLOCK_BASIC, [2, 2, 2, 2]),
 
 def _register_style_variants():
     """MixStyle/EFDMix resnet variants (dassl backbone/resnet.py:283-594):
-    resnet{18,50,101}_{ms,efdmix}_l{123,12,1}."""
+    resnet{18,50,101}_{ms,efdmix}_l{123,12,1}, and the DDG dynamic-conv
+    variants (backbone/resnet_dynamic.py:575-737):
+    resnet{18,50,101}_dynamic[_ms_l{123,12,1}]."""
+    stage_sets = (("l123", ("layer1", "layer2", "layer3")),
+                  ("l12", ("layer1", "layer2")),
+                  ("l1", ("layer1",)))
+
+    def reg(name, **fixed):
+        def build(seed=0, _fixed=fixed, **kw):
+            return ResNetBackbone(seed=seed, **_fixed)
+
+        build.__name__ = name
+        BACKBONE_REGISTRY.register(build)
+
     for arch, (kind, layers) in _ARCH.items():
         for ms_class, tag in (("mixstyle", "ms"), ("efdmix", "efdmix")):
-            for stages_tag, stages in (("l123", ("layer1", "layer2", "layer3")),
-                                       ("l12", ("layer1", "layer2")),
-                                       ("l1", ("layer1",))):
-                name = f"{arch}_{tag}_{stages_tag}"
-
-                def make(kind=kind, layers=layers, stages=stages,
-                         ms_class=ms_class):
-                    def build(seed=0, **kw):
-                        return ResNetBackbone(kind, layers, seed,
-                                              ms_layers=stages,
-                                              ms_class=ms_class)
-                    return build
-
-                fn = make()
-                fn.__name__ = name
-                BACKBONE_REGISTRY.register(fn)
+            for stages_tag, stages in stage_sets:
+                reg(f"{arch}_{tag}_{stages_tag}", kind=kind, layers=layers,
+                    ms_layers=stages, ms_class=ms_class)
+        reg(f"{arch}_dynamic", kind=kind, layers=layers, dynamic=True)
+        for stages_tag, stages in stage_sets:
+            reg(f"{arch}_dynamic_ms_{stages_tag}", kind=kind, layers=layers,
+                dynamic=True, ms_layers=stages, ms_class="mixstyle")
 
 
 _register_style_variants()

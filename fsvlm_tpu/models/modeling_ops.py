@@ -313,15 +313,20 @@ def attention_apply(x, params):
     return jax.nn.softmax(linear_apply(h, params["fc2"]).astype(jnp.float32), -1)
 
 
-def conv2d_dynamic_init(rng, cin, cout, kernel_size, squeeze=None):
+def conv2d_dynamic_init(rng, cin, cout, kernel_size, squeeze=None,
+                        attention_in_channels=None):
     """Conv2dDynamic (ops/conv.py, DDG): a base conv blended with grouped
-    and 1x1 kernel templates by attention weights."""
+    and 1x1 kernel templates by attention weights.  attention_in_channels
+    sets the attention input width when the attention is computed over a
+    different tensor than the conv input (the dynamic resnet blocks feed
+    the block input, resnet_dynamic.py:282-289)."""
     if kernel_size % 2 == 0:
         raise ValueError("Kernel_size must be odd now because the templates "
                          "we used are odd (kernel_size=1).")
     p = {"conv": conv_init(rng, kernel_size, kernel_size, cin, cout),
          "conv_11": conv_init(rng, 1, 1, cin, cout),
-         "att": attention_init(rng, cin, 2, squeeze=squeeze)}
+         "att": attention_init(rng, attention_in_channels or cin, 2,
+                               squeeze=squeeze)}
     for name in ("conv", "conv_11"):
         p[name]["b"] = np.zeros(cout, np.float32)
     # grouped template: groups = min(cin, cout)

@@ -59,6 +59,15 @@ def test_efficientnet_b0_block_count():
     assert len(b1.blocks) == 23  # depth 1.1 rounds every stage up
 
 
+def test_dynamic_resnet_runs():
+    bb = build_backbone("resnet18_dynamic", seed=0)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    f, _ = bb.apply(bb.params, bb.state, x, train=False)
+    assert f.shape == (2, 512)
+    # dynamic conv params exist in every block's 3x3 slots
+    assert "att" in bb.params["layer1_0"]["conv1"]
+
+
 def test_registry_covers_reference_names():
     """Every backbone name the reference registers must resolve here
     (dassl/modeling/backbone: resnets+variants, wide_resnet, digit CNNs,
@@ -71,6 +80,9 @@ def test_registry_covers_reference_names():
         + [f"efficientnet_b{i}" for i in range(8)]
         + [f"resnet{n}_{t}_{l}" for n in (18, 50, 101)
            for t in ("ms", "efdmix") for l in ("l123", "l12", "l1")]
+        + [f"resnet{n}_dynamic" for n in (18, 50, 101)]
+        + [f"resnet{n}_dynamic_ms_{l}" for n in (18, 50, 101)
+           for l in ("l123", "l12", "l1")]
     )
     have = set(BACKBONE_REGISTRY.registered_names())
     missing = [n for n in expected if n not in have]
