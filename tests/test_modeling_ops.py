@@ -145,3 +145,16 @@ def test_mixstyle_resnet_variant_runs():
     f3, _ = efd.apply(efd.params, efd.state, x, train=True,
                       rng=jax.random.PRNGKey(1))
     assert f3.shape == (4, 2048)
+
+
+def test_head_registry_mlp():
+    from fsvlm_tpu.models.heads import build_head
+
+    h = build_head("mlp", in_features=32, hidden_layers=[16, 8],
+                   activation="leaky_relu")
+    assert h.out_features == 8
+    y, ns = h.apply(h.params, h.state, jnp.ones((4, 32)), train=True)
+    assert y.shape == (4, 8) and set(ns) == {"bn0", "bn1"}
+    d = build_head("mlp", in_features=8, hidden_layers=4, dropout=0.5)
+    with pytest.raises(ValueError, match="rng"):
+        d.apply(d.params, d.state, jnp.ones((2, 8)), train=True)
