@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "48"))  # round-2 sweep: 48 > 64
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
