@@ -27,18 +27,31 @@ def parse_trace(trace_dir, top=40):
         return
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
-    # TPU device lanes only (skip host threads): pid names containing TPU/device
+    # TPU device "XLA Ops" lanes only: other device threads ("Steps",
+    # "XLA Modules") carry whole-run envelope events that would swamp the
+    # per-op aggregation
     dev_pids = set()
     for ev in trace["traceEvents"]:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             name = ev.get("args", {}).get("name", "")
             if "TPU" in name or "/device:" in name or "Device" in name:
                 dev_pids.add(ev["pid"])
+    op_lanes = set()
+    for ev in trace["traceEvents"]:
+        if (ev.get("ph") == "M" and ev.get("name") == "thread_name"
+                and ev.get("pid") in dev_pids
+                and "XLA Ops" in ev.get("args", {}).get("name", "")):
+            op_lanes.add((ev["pid"], ev.get("tid")))
     durs = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
     for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X" or (dev_pids and ev.get("pid") not in dev_pids):
+        if ev.get("ph") != "X":
+            continue
+        if op_lanes:
+            if (ev.get("pid"), ev.get("tid")) not in op_lanes:
+                continue
+        elif dev_pids and ev.get("pid") not in dev_pids:
             continue
         d = ev.get("dur", 0) / 1e3  # us -> ms
         name = ev.get("name", "?")
