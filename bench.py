@@ -272,12 +272,16 @@ def main():
                                               "tools", "bench_e2e.py")],
                 capture_output=True, text=True, timeout=3000, env=env,
             )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            extra["e2e_img_s"] = json.loads(line)["value"]
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                tail = (r.stderr.strip().splitlines() or ["(empty)"])[-1]
+                raise RuntimeError(
+                    f"no JSON from bench_e2e; stderr tail: {tail[-160:]}")
+            extra["e2e_img_s"] = json.loads(lines[-1])["value"]
         except Exception as e:
             extra["e2e_img_s"] = None
             extra["ladder_note"] = (extra.get("ladder_note", "")
-                                    + f" e2e failed: {e}"[:200]).strip()
+                                    + f" e2e failed: {e}"[:260]).strip()
 
     print(
         json.dumps(
