@@ -146,6 +146,36 @@ def main():
 
     train_step = jax.jit(_step)
 
+    dump_path = os.environ.get("BENCH_DUMP_HLO")
+    if dump_path:
+        # compile-only mode: write the optimized device HLO + compiler cost
+        # analysis so profile fusion names (profile_bench.py) can be mapped
+        # back to source ops; no execution.
+        images_d = jnp.zeros((BATCH, clip_cfg.image_resolution,
+                              clip_cfg.image_resolution, 3), jnp.float32)
+        labels_d = jnp.zeros((BATCH,), jnp.int32)
+        compiled = train_step.lower(
+            learnable, opt_state, frozen, images_d, labels_d).compile()
+        with open(dump_path, "w") as f:
+            f.write(compiled.as_text())
+        cost = {}
+        try:
+            cost = dict(compiled.cost_analysis())
+        except Exception:
+            pass
+        mem = None
+        try:
+            mem = str(compiled.memory_analysis())
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "hlo-dump", "path": dump_path,
+            "flops": cost.get("flops"),
+            "bytes_accessed": cost.get("bytes accessed"),
+            "memory_analysis": mem,
+        }))
+        return
+
     # BENCH_SCAN=K wraps K optimizer steps in ONE dispatch (lax.scan): the
     # measurement then excludes the per-call dispatch RTT through the axon
     # relay and reads pure on-chip step time.

@@ -85,8 +85,20 @@ quick_gelu.defvjp(_quick_gelu_fwd, _quick_gelu_bwd)
 
 
 def linear(x, w, b=None):
-    """y = x @ w + b with weights stored (in_features, out_features)."""
-    y = x @ w.astype(x.dtype)
+    """y = x @ w + b with weights stored (in_features, out_features).
+
+    FSVLM_LINEAR_2D=1 flattens (B, L, D) @ (D, F) into one (B·L, D) GEMM
+    before the dot (layout experiment: the TPU backend was observed
+    lowering the rank-3 dot through the batch-in-sublanes convolution
+    emitter; an explicit collapse forces the plain large-M GEMM path)."""
+    import os
+
+    if os.environ.get("FSVLM_LINEAR_2D") == "1" and x.ndim > 2:
+        shape = x.shape
+        y = (x.reshape(-1, shape[-1]) @ w.astype(x.dtype)).reshape(
+            *shape[:-1], w.shape[-1])
+    else:
+        y = x @ w.astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
