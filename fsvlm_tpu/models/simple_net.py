@@ -6,10 +6,29 @@ dassl/modeling/head/mlp.py): pytrees in, (logits | features, new_state)
 out.  This is the model every DA/DG/SSL trainer builds.
 """
 
+import glob
+import os
+
 import numpy as np
 
 from .backbones import build_backbone
 from .backbones.common import bn_apply, bn_init, linear_apply, linear_init, relu
+
+
+def find_backbone_weights(name):
+    """Locate a torchvision-style state_dict for a zoo backbone: searches
+    $FSVLM_BACKBONE_WEIGHTS (file or dir) then the torch hub cache.  The
+    reference auto-downloads (dassl backbone/resnet.py model_zoo); this
+    environment has no egress, so weights must be staged on disk."""
+    cand = os.environ.get("FSVLM_BACKBONE_WEIGHTS", "")
+    paths = []
+    if cand:
+        paths += [cand] if os.path.isfile(cand) else glob.glob(
+            os.path.join(cand, f"{name}*.pth")) + glob.glob(
+            os.path.join(cand, f"{name}*.pt"))
+    hub = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+    paths += sorted(glob.glob(os.path.join(hub, f"{name}-*.pth")))
+    return paths[0] if paths else None
 
 
 class SimpleNet:
@@ -17,6 +36,8 @@ class SimpleNet:
         self.backbone = build_backbone(
             model_cfg.BACKBONE.NAME, verbose=cfg.VERBOSE, seed=seed, **kwargs
         )
+        if model_cfg.BACKBONE.PRETRAINED:
+            self._try_load_pretrained(model_cfg.BACKBONE.NAME)
         fdim = self.backbone.out_features
         rng = np.random.RandomState(seed + 1)
 
@@ -42,6 +63,41 @@ class SimpleNet:
 
         self.fdim = fdim
         self.params, self.state = params, state
+
+    def _try_load_pretrained(self, name):
+        """MODEL.BACKBONE.PRETRAINED=True: import staged weights when
+        available, otherwise warn PROMINENTLY (never a silent no-op; the
+        reference would have downloaded them, dassl resnet.py:219-226)."""
+        path = find_backbone_weights(name)
+        if path is None:
+            print(
+                f"* WARNING: MODEL.BACKBONE.PRETRAINED=True but no weights "
+                f'found for "{name}" (searched $FSVLM_BACKBONE_WEIGHTS and '
+                f"~/.cache/torch/hub/checkpoints) — initializing randomly. "
+                f"Set MODEL.BACKBONE.PRETRAINED False to silence."
+            )
+            return
+        from .backbones.resnet import ResNetBackbone, load_torch_state_dict
+
+        if not isinstance(self.backbone, ResNetBackbone) or self.backbone.dynamic:
+            print(
+                f"* WARNING: pretrained import for \"{name}\" is not "
+                f"implemented (only plain/MixStyle resnets); found {path} "
+                f"but initializing randomly."
+            )
+            return
+        import pickle
+
+        try:
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            with open(path, "rb") as f:
+                sd = pickle.load(f)
+        p, s = load_torch_state_dict(self.backbone, sd)
+        self.backbone.params, self.backbone.state = p, s
+        print(f'Loaded pretrained backbone weights from "{path}"')
 
     def apply(self, params, state, x, train=False, return_feature=False,
               rng=None):

@@ -87,3 +87,61 @@ def test_registry_covers_reference_names():
     have = set(BACKBONE_REGISTRY.registered_names())
     missing = [n for n in expected if n not in have]
     assert not missing, f"missing backbones: {missing}"
+
+
+def test_pretrained_resnet_import(tmp_path, monkeypatch, capsys):
+    """MODEL.BACKBONE.PRETRAINED=True loads staged weights into the
+    functional resnet; absent weights warn loudly (never silent)."""
+    torch = pytest.importorskip("torch")
+    from fsvlm_tpu.config import get_cfg_default
+    from fsvlm_tpu.models.backbones.resnet import ResNetBackbone
+    from fsvlm_tpu.models.simple_net import SimpleNet, find_backbone_weights
+
+    # synthesize a torchvision-layout resnet18 state_dict from our shapes
+    bb = ResNetBackbone("basic", [2, 2, 2, 2], seed=0)
+    sd = {}
+    rng = np.random.RandomState(0)
+
+    def put_conv(name, w):
+        sd[name + ".weight"] = torch.from_numpy(
+            rng.rand(*np.transpose(w, (3, 2, 0, 1)).shape).astype(np.float32))
+
+    def put_bn(name, c):
+        sd[name + ".weight"] = torch.ones(c)
+        sd[name + ".bias"] = torch.zeros(c)
+        sd[name + ".running_mean"] = torch.full((c,), 0.25)
+        sd[name + ".running_var"] = torch.full((c,), 2.0)
+
+    put_conv("conv1", bb.params["conv1"]["w"])
+    put_bn("bn1", 64)
+    for key, _ in bb._strides:
+        stage, b = key.split("_")
+        tv = f"{stage}.{b}"
+        blk = bb.params[key]
+        for c in ("conv1", "conv2"):
+            put_conv(f"{tv}.{c}", blk[c]["w"])
+            put_bn(f"{tv}.bn{c[-1]}", blk[c]["w"].shape[-1])
+        if "down_conv" in blk:
+            put_conv(f"{tv}.downsample.0", blk["down_conv"]["w"])
+            put_bn(f"{tv}.downsample.1", blk["down_conv"]["w"].shape[-1])
+    wpath = tmp_path / "resnet18-fake.pth"
+    torch.save(sd, str(wpath))
+    monkeypatch.setenv("FSVLM_BACKBONE_WEIGHTS", str(wpath))
+    assert find_backbone_weights("resnet18") == str(wpath)
+
+    cfg = get_cfg_default()
+    cfg.VERBOSE = False
+    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    cfg.MODEL.BACKBONE.PRETRAINED = True
+    net = SimpleNet(cfg, cfg.MODEL, 4, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(net.state["backbone"]["bn1"]["mean"]), 0.25)
+    out = capsys.readouterr().out
+    assert "Loaded pretrained backbone weights" in out
+
+    # absent weights: prominent warning, not a silent no-op
+    monkeypatch.setenv("FSVLM_BACKBONE_WEIGHTS", str(tmp_path / "nowhere"))
+    monkeypatch.delenv("HOME", raising=False)
+    cfg.MODEL.BACKBONE.NAME = "cnn_digitsdg"
+    SimpleNet(cfg, cfg.MODEL, 4, seed=0)
+    assert "WARNING: MODEL.BACKBONE.PRETRAINED" in capsys.readouterr().out
