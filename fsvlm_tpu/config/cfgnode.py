@@ -136,7 +136,16 @@ class CfgNode(dict):
 
 
 def _decode_value(s):
-    """Parse a CLI string into a python value (yacs semantics via yaml)."""
+    """Parse a CLI string into a python value (yacs semantics:
+    ast.literal_eval first — so "('a','b')" becomes a tuple, matching
+    yacs' _decode_cfg_value which the reference's scripts rely on for
+    list-valued opts — then yaml for scalars like "true"/"1e-3")."""
+    import ast
+
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        pass
     try:
         v = yaml.safe_load(s)
     except yaml.YAMLError:
