@@ -40,7 +40,6 @@ class SupBaseline(NetTrainerXU):
     (ssl/sup_baseline.py)."""
 
     def build_method(self):
-        tx = self.tx_ref = None
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
