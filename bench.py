@@ -92,10 +92,18 @@ def main():
 
     frozen = {
         "clip": jax.tree.map(jnp.asarray, params),
+    }
+    if os.environ.get("BENCH_BF16_TOWERS") == "1":
+        # store the frozen towers in bf16 (halves weight HBM reads; the
+        # fp32-stat LN path still upcasts where parity requires it)
+        frozen["clip"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, frozen["clip"])
+    frozen.update({
         "base_embed": jnp.asarray(pc["base_embed"]),
         "ctx_scatter": jnp.asarray(pc["ctx_scatter"]),
         "eot_idx": jnp.asarray(pc["eot_idx"]),
-    }
+    })
     learnable = {
         "ctx": jnp.asarray(pc["init_ctx"]),
         "text_deep": jnp.asarray(rng.normal(0, 0.02, (clip_cfg.transformer_layers - 4 if clip_cfg.transformer_layers > 4 else 1, 4, clip_cfg.transformer_width)).astype(np.float32)),
