@@ -20,6 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "48"))  # round-2 sweep: 48 > 64
+# Round-2 defaults: 10-step fused dispatch (the production epoch-fused
+# trainer path batches steps into one dispatch the same way, TRAIN.
+# EPOCH_FUSE) + bf16 frozen-tower storage (MODEL.FROZEN_DTYPE=bf16;
+# upstream CLIP ships fp16 weights).  BENCH_SCAN=0 BENCH_BF16_TOWERS=0
+# reproduces the round-1 per-dispatch fp32-tower configuration.
+SCAN_K = int(os.environ.get("BENCH_SCAN", "10"))
+BF16_TOWERS = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -93,9 +100,11 @@ def main():
     frozen = {
         "clip": jax.tree.map(jnp.asarray, params),
     }
-    if os.environ.get("BENCH_BF16_TOWERS") == "1":
-        # store the frozen towers in bf16 (halves weight HBM reads; the
-        # fp32-stat LN path still upcasts where parity requires it)
+    bf16_on = BF16_TOWERS and jax.default_backend() != "cpu"
+    if bf16_on:
+        # MODEL.FROZEN_DTYPE=bf16 equivalent: store the frozen towers in
+        # bf16 (halves weight HBM reads; the fp32-stat LN path still
+        # upcasts where parity requires it)
         frozen["clip"] = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, frozen["clip"])
@@ -184,10 +193,11 @@ def main():
         }))
         return
 
-    # BENCH_SCAN=K wraps K optimizer steps in ONE dispatch (lax.scan): the
-    # measurement then excludes the per-call dispatch RTT through the axon
-    # relay and reads pure on-chip step time.
-    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    # BENCH_SCAN=K wraps K optimizer steps in ONE dispatch (lax.scan),
+    # matching the production epoch-fused trainer path (TRAIN.EPOCH_FUSE
+    # runs a whole epoch per dispatch); the per-call RTT through the axon
+    # relay then amortizes the same way it does in real training.
+    scan_k = SCAN_K
     if scan_k:
         @jax.jit
         def train_many(learnable, opt_state, frozen, images, labels):
@@ -204,7 +214,9 @@ def main():
     images = jnp.asarray(rng.randn(BATCH, clip_cfg.image_resolution, clip_cfg.image_resolution, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, N_CLASSES, BATCH).astype(np.int32))
 
+    metric_suffix = ""
     if scan_k:
+        metric_suffix = f", {scan_k}-step fused dispatch"
         learnable, opt_state, loss = train_many(learnable, opt_state, frozen, images, labels)
         _ = float(loss)
         t0 = time.time()
@@ -216,38 +228,27 @@ def main():
             assert np.isfinite(float(loss))
         dt = time.time() - t0
         imgs_per_sec = BATCH * scan_k * n_calls / dt
-        print(
-            json.dumps(
-                {
-                    "metric": f"PromptSRC {ARCH} train-step throughput (one chip, {scan_k}-step scan)",
-                    "value": round(imgs_per_sec, 2),
-                    "unit": "images/sec/chip",
-                    "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),
-                }
-            )
-        )
-        return
+    else:
+        # warmup / compile
+        for _ in range(3):
+            learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
+        _ = float(loss)
 
-    # warmup / compile
-    for _ in range(3):
-        learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
-    _ = float(loss)
+        # Host fetches force on-chip completion (block_until_ready alone has
+        # proven unreliable through the axon tunnel).  Steps chain through the
+        # donated params, so fetching every FETCH_EVERY-th loss still bounds
+        # all preceding steps while amortizing the tunnel round-trip.
+        fetch_every = max(1, int(os.environ.get("BENCH_FETCH_EVERY", "10")))
+        t0 = time.time()
+        losses = []
+        for i in range(STEPS):
+            learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
+            if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
+                losses.append(float(loss))
+        dt = time.time() - t0
+        assert all(np.isfinite(l) for l in losses), "non-finite loss in bench"
 
-    # Host fetches force on-chip completion (block_until_ready alone has
-    # proven unreliable through the axon tunnel).  Steps chain through the
-    # donated params, so fetching every FETCH_EVERY-th loss still bounds all
-    # preceding steps while amortizing the tunnel round-trip.
-    fetch_every = max(1, int(os.environ.get("BENCH_FETCH_EVERY", "10")))
-    t0 = time.time()
-    losses = []
-    for i in range(STEPS):
-        learnable, opt_state, loss = train_step(learnable, opt_state, frozen, images, labels)
-        if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
-            losses.append(float(loss))
-    dt = time.time() - t0
-    assert all(np.isfinite(l) for l in losses), "non-finite loss in bench"
-
-    imgs_per_sec = BATCH * STEPS / dt
+        imgs_per_sec = BATCH * STEPS / dt
 
     # perf ladder (VERDICT r1 item 10): also report the CACHED_TEACHER step
     # (opt-in extension that precomputes frozen zs image features once per
@@ -308,6 +309,8 @@ def main():
             # size, so per-epoch dispatch overhead amortizes realistically
             env.setdefault("BENCH_SHOTS", "128")
             env.setdefault("BENCH_EPOCHS", "3")
+            if bf16_on:
+                env.setdefault("BENCH_FROZEN_DTYPE", "bf16")
             r = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                               "tools", "bench_e2e.py")],
@@ -324,10 +327,13 @@ def main():
             extra["ladder_note"] = (extra.get("ladder_note", "")
                                     + f" e2e failed: {e}"[:260]).strip()
 
+    if bf16_on and metric_suffix:
+        metric_suffix += ", bf16 towers"
     print(
         json.dumps(
             {
-                "metric": f"PromptSRC {ARCH} train-step throughput (one chip)",
+                "metric": f"PromptSRC {ARCH} train-step throughput "
+                          f"(one chip{metric_suffix})",
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 2),

@@ -102,6 +102,9 @@ def get_cfg_default():
     _C.MODEL.BACKBONE = CN()
     _C.MODEL.BACKBONE.NAME = ""
     _C.MODEL.BACKBONE.PRETRAINED = True
+    # frozen-tower storage dtype: fp32 (the fork's behavior) or bf16
+    # (upstream CLIP ships fp16 weights; bf16 halves weight HBM reads)
+    _C.MODEL.FROZEN_DTYPE = "fp32"
     _C.MODEL.HEAD = CN()
     _C.MODEL.HEAD.NAME = ""
     _C.MODEL.HEAD.HIDDEN_LAYERS = ()

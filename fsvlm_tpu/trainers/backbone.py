@@ -41,6 +41,31 @@ def find_clip_weights(name):
     return None
 
 
+def _apply_frozen_dtype(cfg, params):
+    """MODEL.FROZEN_DTYPE=bf16 stores the frozen towers in bfloat16.
+
+    Upstream OpenAI CLIP ships fp16 weights (clip/model.py convert_weights;
+    the fork comments the call out at model.py:699 and keeps fp32).  bf16
+    storage halves weight HBM reads (+1.3-2% step throughput measured,
+    PERF.md) at upstream-comparable storage precision; fp32-stat LayerNorm
+    and fp32 softmax/logits still apply on top either way.  Default fp32 =
+    the fork's behavior."""
+    mode = str(getattr(cfg.MODEL, "FROZEN_DTYPE", "fp32")).lower()
+    if mode in ("fp32", "float32", ""):
+        return params
+    if mode not in ("bf16", "bfloat16"):
+        raise ValueError(f"Unknown MODEL.FROZEN_DTYPE: {mode}")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def cast(x):
+        arr = np.asarray(x)
+        return arr.astype(jnp.bfloat16) if arr.dtype == np.float32 else x
+
+    return jax.tree.map(cast, params)
+
+
 def load_clip_backbone(cfg):
     """Returns (clip_params, clip_cfg) for cfg.MODEL.BACKBONE.NAME."""
     name = cfg.MODEL.BACKBONE.NAME
@@ -50,7 +75,7 @@ def load_clip_backbone(cfg):
 
     if name.startswith("test-tiny") or not cfg.MODEL.BACKBONE.PRETRAINED:
         print(f"Building {name} CLIP with random weights (no pretrained load)")
-        return random_clip_params(arch, seed=max(cfg.SEED, 0)), arch
+        return _apply_frozen_dtype(cfg, random_clip_params(arch, seed=max(cfg.SEED, 0))), arch
 
     path = find_clip_weights(name)
     if path is None:
@@ -61,4 +86,4 @@ def load_clip_backbone(cfg):
         )
     print(f"Loading CLIP {name} from {path}")
     params, loaded_cfg = load_openai_checkpoint(path)
-    return params, loaded_cfg
+    return _apply_frozen_dtype(cfg, params), loaded_cfg

@@ -44,6 +44,7 @@ def main():
     cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
     cfg.MODEL.BACKBONE.NAME = ARCH if ARCH.startswith("test") else ARCH
     cfg.MODEL.BACKBONE.PRETRAINED = False
+    cfg.MODEL.FROZEN_DTYPE = os.environ.get("BENCH_FROZEN_DTYPE", "fp32")
     cfg.TRAINER.NAME = "PromptSRC"
     cfg.TRAINER.PROMPTSRC.PREC = "bf16" if jax.default_backend() != "cpu" else "fp32"
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = BATCH
