@@ -138,3 +138,23 @@ def test_tensorboard_events_written(tmp_path):
 
         pytest.skip("tensorflow not available for TB writing")
     assert any(f.startswith("events") for f in os.listdir(tb_dir))
+
+
+def test_frozen_dtype_bf16(tmp_path):
+    """MODEL.FROZEN_DTYPE=bf16 stores the frozen CLIP pytree in bfloat16
+    (upstream CLIP's fp16-weight storage analog) and still trains."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_coop_end2end import make_cfg
+
+    cfg = make_cfg(tmp_path, **{"MODEL.FROZEN_DTYPE": "bf16",
+                                "OPTIM.MAX_EPOCH": 1,
+                                "TEST.NO_TEST": True})
+    cfg.freeze()
+    from fsvlm_tpu.engine import build_trainer
+
+    t = build_trainer(cfg)
+    leaves = jax.tree.leaves(t.frozen["clip"])
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    t.train()
