@@ -214,6 +214,8 @@ def main():
     images = jnp.asarray(rng.randn(BATCH, clip_cfg.image_resolution, clip_cfg.image_resolution, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, N_CLASSES, BATCH).astype(np.int32))
 
+    # host-fetch cadence (also used by the cached-teacher ladder)
+    fetch_every = max(1, int(os.environ.get("BENCH_FETCH_EVERY", "10")))
     metric_suffix = ""
     if scan_k:
         metric_suffix = f", {scan_k}-step fused dispatch"
@@ -238,7 +240,6 @@ def main():
         # proven unreliable through the axon tunnel).  Steps chain through the
         # donated params, so fetching every FETCH_EVERY-th loss still bounds
         # all preceding steps while amortizing the tunnel round-trip.
-        fetch_every = max(1, int(os.environ.get("BENCH_FETCH_EVERY", "10")))
         t0 = time.time()
         losses = []
         for i in range(STEPS):
