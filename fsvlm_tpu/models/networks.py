@@ -94,6 +94,107 @@ class FCN:
         return x_p
 
 
+def _affine_grid_sample(x, theta):
+    """Bilinear sampling on an affine grid, torch semantics
+    (F.affine_grid(align_corners=False) + F.grid_sample with zero padding)
+    — NHWC.  theta: (B, 2, 3) mapping output normalized coords to input."""
+    B, H, W, C = x.shape
+    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * 2.0 / H - 1.0
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * 2.0 / W - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    ones = jnp.ones_like(gx)
+    coords = jnp.stack([gx, gy, ones], axis=-1).reshape(-1, 3)  # (HW, 3)
+    src = jnp.einsum("bij,pj->bpi", theta.astype(jnp.float32), coords)  # (B,HW,2)
+    sx = (src[..., 0] + 1.0) * W / 2.0 - 0.5
+    sy = (src[..., 1] + 1.0) * H / 2.0 - 0.5
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+
+    def gather(yi, xi):
+        inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        flat = x.reshape(B, H * W, C)
+        v = jnp.take_along_axis(flat, (yc * W + xc)[..., None], axis=1)
+        return v * inside[..., None].astype(x.dtype)
+
+    out = (gather(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
+           + gather(y0, x0 + 1) * (wx * (1 - wy))[..., None]
+           + gather(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
+           + gather(y0 + 1, x0 + 1) * (wx * wy)[..., None])
+    return out.reshape(B, H, W, C).astype(x.dtype)
+
+
+class LocNet:
+    """Localization net for the STN FCN variants (ddaig_fcn.py:115-161):
+    strided conv + BN + resblocks w/ maxpool -> fc predicting a 2x2 linear
+    map; fc initialized to the identity transform."""
+
+    def __init__(self, input_nc=3, nc=32, n_blocks=3, image_size=32, seed=0):
+        rng = np.random.RandomState(seed)
+        self.n_blocks = n_blocks
+        p = {"stem": _conv_init(rng, 3, 3, input_nc, nc)}
+        s = {}
+        from .backbones.common import bn_init
+
+        p["stem_bn"], s["stem_bn"] = bn_init(nc)
+        for i in range(n_blocks):
+            p[f"res{i}a"] = _conv_init(rng, 3, 3, nc, nc)
+            p[f"res{i}a_bn"], s[f"res{i}a_bn"] = bn_init(nc)
+            p[f"res{i}b"] = _conv_init(rng, 3, 3, nc, nc)
+            p[f"res{i}b_bn"], s[f"res{i}b_bn"] = bn_init(nc)
+        reduced = int(image_size * 0.5 ** (n_blocks + 1))
+        # identity init (init_loc_layer, ddaig_fcn.py:236-242)
+        p["fc"] = {"w": np.zeros((nc * reduced * reduced, 4), np.float32),
+                   "b": np.array([1, 0, 0, 1], np.float32)}
+        self.params, self.state = p, s
+
+    def apply(self, params, state, x, train=False):
+        from .backbones.common import bn_apply, max_pool
+
+        ns = {}
+        h = _conv(x, params["stem"], stride=2, padding=1)
+        h, ns["stem_bn"] = bn_apply(h, params["stem_bn"], state["stem_bn"], train)
+        h = jax.nn.relu(h)
+        for i in range(self.n_blocks):
+            r = _conv(h, params[f"res{i}a"], padding=1)
+            r, ns[f"res{i}a_bn"] = bn_apply(
+                r, params[f"res{i}a_bn"], state[f"res{i}a_bn"], train)
+            r = jax.nn.relu(r)
+            r = _conv(r, params[f"res{i}b"], padding=1)
+            r, ns[f"res{i}b_bn"] = bn_apply(
+                r, params[f"res{i}b_bn"], state[f"res{i}b_bn"], train)
+            h = max_pool(h + r, 2, 2, 0)
+        B = x.shape[0]
+        h = h.reshape(B, -1)
+        lin = jnp.tanh(h @ params["fc"]["w"] + params["fc"]["b"])
+        lin = lin.reshape(B, 2, 2)
+        theta = jnp.concatenate(
+            [lin, jnp.zeros((B, 2, 1), lin.dtype)], axis=-1)
+        return theta, ns
+
+
+class FCNSTN(FCN):
+    """FCN with a spatial-transformer front end (stn=True variants)."""
+
+    def __init__(self, input_nc=3, output_nc=3, nc=32, n_blocks=3, gctx=True,
+                 image_size=32, seed=0):
+        super().__init__(input_nc, output_nc, nc, n_blocks, gctx, seed)
+        self.locnet = LocNet(input_nc, nc, n_blocks, image_size, seed + 1)
+        self.params = {"fcn": self.params, "loc": self.locnet.params}
+        self.state = self.locnet.state
+
+    def apply(self, params, x, lmda=1.0, return_p=False, state=None,
+              train=False):
+        loc_state = state if state is not None else self.state
+        theta, _ = self.locnet.apply(params["loc"], loc_state, x, train=False)
+        x = _affine_grid_sample(x, theta)
+        return FCN.apply(self, params["fcn"], x, lmda=lmda, return_p=return_p)
+
+
 @NETWORK_REGISTRY.register()
 def fcn_3x32_gctx(seed=0, **kw):
     return FCN(3, 3, nc=32, n_blocks=3, seed=seed)
@@ -102,3 +203,13 @@ def fcn_3x32_gctx(seed=0, **kw):
 @NETWORK_REGISTRY.register()
 def fcn_3x64_gctx(seed=0, **kw):
     return FCN(3, 3, nc=64, n_blocks=3, seed=seed)
+
+
+@NETWORK_REGISTRY.register()
+def fcn_3x32_gctx_stn(image_size=32, seed=0, **kw):
+    return FCNSTN(3, 3, nc=32, n_blocks=3, image_size=image_size, seed=seed)
+
+
+@NETWORK_REGISTRY.register()
+def fcn_3x64_gctx_stn(image_size=224, seed=0, **kw):
+    return FCNSTN(3, 3, nc=64, n_blocks=3, image_size=image_size, seed=seed)

@@ -107,3 +107,28 @@ def test_fcn_generator_shapes():
     assert float(np.abs(np.asarray(p)).max()) <= 1.0
     np.testing.assert_allclose(np.asarray(x_p), x + 0.3 * np.asarray(p),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fcn_stn_generator():
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.networks import build_network
+
+    g = build_network("fcn_3x32_gctx_stn", image_size=32, seed=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), np.float32)
+    x_p, p = g.apply(g.params, x, lmda=0.3, return_p=True)
+    assert x_p.shape == x.shape and p.shape == x.shape
+    # the reference "identity" init still passes through tanh
+    # (ddaig_fcn.py:152-161), so the initial warp is a tanh(1)=0.76x zoom —
+    # reproduce it directly and check the warp path end-to-end
+    import jax.numpy as jnp2
+
+    from fsvlm_tpu.models.networks import _affine_grid_sample
+
+    theta = jnp2.tile(jnp2.asarray(
+        [[np.tanh(1.0), 0.0, 0.0], [0.0, np.tanh(1.0), 0.0]],
+        jnp2.float32)[None], (2, 1, 1))
+    warped = _affine_grid_sample(x, theta)
+    base = np.asarray(x_p) - 0.3 * np.asarray(p)
+    np.testing.assert_allclose(base, np.asarray(warped), atol=1e-4)
+    assert not np.allclose(np.asarray(warped), np.asarray(x))
