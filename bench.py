@@ -20,15 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "48"))  # round-2 sweep: 48 > 64
-# Round-2 defaults: 10-step fused dispatch (the production epoch-fused
-# trainer path batches steps into one dispatch the same way, TRAIN.
-# EPOCH_FUSE) + bf16 frozen-tower storage (MODEL.FROZEN_DTYPE=bf16;
-# upstream CLIP ships fp16 weights).  BENCH_SCAN=0 BENCH_BF16_TOWERS=0
-# reproduces the round-1 per-dispatch fp32-tower configuration.
-SCAN_K = int(os.environ.get("BENCH_SCAN", "10"))
+# Round-2 defaults: 20-step fused dispatch (the production epoch-fused
+# trainer path batches a whole epoch — 21 steps at the e2e ladder's data
+# size — into one dispatch the same way, TRAIN.EPOCH_FUSE) + bf16
+# frozen-tower storage (MODEL.FROZEN_DTYPE=bf16; upstream CLIP ships fp16
+# weights).  BENCH_SCAN=0 BENCH_BF16_TOWERS=0 reproduces the round-1
+# per-dispatch fp32-tower configuration.
+SCAN_K = int(os.environ.get("BENCH_SCAN", "20"))
 BF16_TOWERS = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
-STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+STEPS = int(os.environ.get("BENCH_STEPS", "60"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
