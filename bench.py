@@ -57,6 +57,13 @@ def _device_probe(timeout_s=600):
 def main():
     import jax
 
+    # honor an explicit JAX_PLATFORMS request (e.g. cpu) over the axon
+    # sitecustomize, which force-sets jax_platforms programmatically — same
+    # pattern as fsvlm_tpu/__init__ and tests/conftest.py
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     if not _device_probe():
         print(
             json.dumps(
@@ -328,6 +335,37 @@ def main():
             extra["e2e_img_s"] = None
             extra["ladder_note"] = (extra.get("ladder_note", "")
                                     + f" e2e failed: {e}"[:260]).strip()
+
+    # efficiency metrics (VERDICT r2 item 9): TFLOP/s and % of the measured
+    # dense-matmul ceiling (98.9 TF/s through this tunnel, PERF.md).  FLOPs
+    # come from the XLA compiler's own cost analysis of the exact program we
+    # timed (the persistent compile cache makes the lower/compile a cache
+    # hit); falls back to the PERF.md analytic model.
+    MEASURED_CEILING_TFLOPS = 98.9
+    try:
+        if scan_k:
+            cost = dict(
+                train_many.lower(learnable, opt_state, frozen, images, labels)
+                .compile()
+                .cost_analysis()
+            )
+            flops_per_step = float(cost["flops"]) / scan_k
+        else:
+            cost = dict(
+                train_step.lower(learnable, opt_state, frozen, images, labels)
+                .compile()
+                .cost_analysis()
+            )
+            flops_per_step = float(cost["flops"])
+    except Exception:
+        # analytic: ~70 GFLOP/img (student fwd+bwd + teacher fwd) +
+        # 2.1 GFLOP/class text fwd+bwd (PERF.md step cost model)
+        flops_per_step = BATCH * 70e9 + 2.1e9 * N_CLASSES
+    tflops_per_sec = imgs_per_sec / BATCH * flops_per_step / 1e12
+    extra["tflops_per_sec"] = round(tflops_per_sec, 2)
+    extra["pct_of_measured_ceiling"] = round(
+        100.0 * tflops_per_sec / MEASURED_CEILING_TFLOPS, 1
+    )
 
     if bf16_on and metric_suffix:
         metric_suffix += ", bf16 towers"

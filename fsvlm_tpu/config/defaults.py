@@ -151,6 +151,15 @@ def get_cfg_default():
     # relay).  auto|on|off; per-batch log lines are reconstructed from the
     # stacked on-device metrics afterwards.
     _C.TRAIN.EPOCH_FUSE = "auto"
+    # TPU extension: with the fused epoch, build the index schedule ON
+    # DEVICE (permute a resident index buffer with the epoch PRNG key and
+    # gather labels/domains from resident metadata) — per-epoch H2D drops to
+    # one key.  Documented divergence when on: the shuffle order comes from
+    # the jax PRNG (reproducible from SEED+epoch), not python random, so
+    # fused and per-step paths see different (equally uniform) batch orders.
+    # False (default) keeps the host-built schedule, byte-identical to the
+    # per-step pipeline.
+    _C.TRAIN.DEVICE_SCHEDULE = False
 
     # ------------------------------------------------------------------- test
     _C.TEST = CN()

@@ -237,23 +237,49 @@ class BatchLoader:
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
         failure = []
 
         def producer():
             try:
                 for chunk in self._index_batches():
-                    q.put(self._collate(chunk))
+                    if stop.is_set():
+                        return
+                    batch = self._collate(chunk)
+                    # bounded put that can observe abandonment: a consumer
+                    # that drops the iterator mid-epoch (e.g. NetTrainerXU's
+                    # cyclic zip) must not leave this thread blocked forever
+                    # on q.put with prefetched batches pinned
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            pass
             except BaseException as e:  # surface in the consumer, never drop data silently
                 failure.append(e)
             finally:
-                q.put(SENTINEL)
+                # bounded blocking put: the consumer may still be draining a
+                # full queue (normal exhaustion), so wait for space — but
+                # give up once the consumer signalled abandonment
+                while not stop.is_set():
+                    try:
+                        q.put(SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is SENTINEL:
-                if failure:
-                    raise RuntimeError("data loader producer failed") from failure[0]
-                break
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is SENTINEL:
+                    if failure:
+                        raise RuntimeError("data loader producer failed") from failure[0]
+                    break
+                yield batch
+        finally:
+            # runs on exhaustion AND on generator close/GC (GeneratorExit):
+            # unblock + terminate the producer deterministically
+            stop.set()

@@ -209,6 +209,50 @@ class SimpleTrainer:
             )
             return params, opt_state, metrics
 
+        # device-built epoch schedule (TRAIN.DEVICE_SCHEDULE): permute a
+        # resident index buffer with the epoch key and gather labels/domains
+        # from resident metadata — the fused epoch then needs NO per-epoch
+        # host work or H2D beyond one PRNG key (the host path stacks and
+        # re-ships the schedule every epoch).  steps/B/Bp are static.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sched_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+        @partial(
+            jax.jit,
+            static_argnums=(2, 3, 4, 5, 6),
+            out_shardings=sched_sharding,
+        )
+        def build_schedule(meta, key, n_items, steps, B, Bp, shuffle):
+            perm = (
+                jax.random.permutation(key, n_items)
+                if shuffle
+                else jnp.arange(n_items)
+            ).astype(jnp.int32)
+            total = steps * B
+            if total > n_items:
+                # pad like the host path: repeat the last real element
+                perm = jnp.concatenate(
+                    [perm, jnp.broadcast_to(perm[-1], (total - n_items,))]
+                )
+            index = perm[:total].reshape(steps, B)
+            valid = (jnp.arange(total) < n_items).reshape(steps, B)
+            if Bp > B:  # mesh-size padding, False-masked
+                index = jnp.concatenate(
+                    [index, jnp.broadcast_to(index[:, -1:], (steps, Bp - B))], 1
+                )
+                valid = jnp.concatenate(
+                    [valid, jnp.zeros((steps, Bp - B), bool)], 1
+                )
+            return {
+                "index": index,
+                "label": jnp.take(meta["label"], index, axis=0),
+                "domain": jnp.take(meta["domain"], index, axis=0),
+                "valid": valid,
+            }
+
+        self._build_schedule = build_schedule
+        self._resident_meta = None
         self._train_step = train_step
         self._train_step_resident = train_step_resident
         self._train_epoch_resident = train_epoch_resident
@@ -274,6 +318,12 @@ class SimpleTrainer:
         mode = str(self.cfg.DATALOADER.DEVICE_RESIDENT).lower()
         if mode in ("false", "off", "0", "no"):
             return None
+        if getattr(self, "_train_step_resident", None) is None:
+            # trainer family without an index-gather step (the zoo bases set
+            # _train_step_resident = None): never build the cache, else
+            # run_epoch would feed index-only batches to a step that expects
+            # pixels
+            return None
         if self._device_cache is not None:
             return self._device_cache
         wrapper = getattr(self.train_loader_x, "wrapper", None)
@@ -303,11 +353,59 @@ class SimpleTrainer:
         from ..parallel.mesh import replicated
 
         self._device_cache = jax.device_put(imgs, replicated(self.mesh))
+        # resident per-item metadata for the device-built epoch schedule
+        data = wrapper.data_source
+        self._resident_meta = {
+            "label": jax.device_put(
+                np.asarray([it.label for it in data], np.int32),
+                replicated(self.mesh),
+            ),
+            "domain": jax.device_put(
+                np.asarray([it.domain for it in data], np.int32),
+                replicated(self.mesh),
+            ),
+        }
         print(
             f"* device-resident train set: {n} images x {wrapper.pre_size}^2 "
             f"({nbytes >> 20} MB) in HBM; per-step H2D is indices only"
         )
         return self._device_cache
+
+    def _maybe_device_schedule(self, num_batches):
+        """Build this epoch's index schedule ON DEVICE when eligible
+        (TRAIN.DEVICE_SCHEDULE on, resident metadata present, and a plain
+        Random/Sequential sampler).  Removes the last per-epoch host work
+        from the fused path: the permutation comes from the epoch PRNG key,
+        so the only H2D is one key.
+
+        Documented divergence: the shuffle is a jax PRNG permutation
+        (reproducible from cfg.SEED + epoch), not the host python-random
+        order — both are uniform shuffles of the same few-shot set; the
+        default 'off' keeps the host path byte-identical to the per-step
+        pipeline (tests compare those trajectories)."""
+        mode = str(self.cfg.TRAIN.get("DEVICE_SCHEDULE", False)).lower()
+        if mode in ("off", "false", "0", "no", ""):
+            return None
+        if self._resident_meta is None:
+            return None
+        from ..data.samplers import RandomSampler, SequentialSampler
+
+        sampler = getattr(self.train_loader_x, "sampler", None)
+        if not isinstance(sampler, (RandomSampler, SequentialSampler)):
+            print(
+                "* TRAIN.DEVICE_SCHEDULE: unsupported sampler "
+                f"{type(sampler).__name__}; falling back to host schedule"
+            )
+            return None
+        loader = self.train_loader_x
+        n_items = len(loader.wrapper)
+        B = loader.batch_size
+        Bp = B + (-B) % self.mesh.devices.size
+        key = jax.random.fold_in(self._epoch_key(), 1 << 20)
+        return self._build_schedule(
+            self._resident_meta, key, n_items, num_batches, B, Bp,
+            isinstance(sampler, RandomSampler),
+        )
 
     def _epoch_key(self):
         """Per-epoch PRNG base: fold_in(rng_key, epoch).  Per-step keys are
@@ -355,6 +453,7 @@ class SimpleTrainer:
             and num_batches > 0
             and fuse_mode not in ("off", "false", "0", "no")
             and jax.process_count() == 1
+            and getattr(self, "_train_epoch_resident", None) is not None
         ):
             return self._run_epoch_fused(
                 cache, losses, batch_time, data_time, num_batches
@@ -402,28 +501,40 @@ class SimpleTrainer:
     def _run_epoch_fused(self, cache, losses, batch_time, data_time, num_batches):
         """One dispatch per epoch: stack the index schedule, scan on device,
         reconstruct the standard per-batch log lines from the stacked
-        metrics afterwards."""
-        t0 = time.time()
-        batches = list(self.train_loader_x.iter_index_batches())
-        keys = ("label", "domain", "index", "valid")
-        sched_np = {k: np.stack([b[k] for b in batches]) for k in keys}
-        # pad the batch axis to the mesh size exactly like shard_batch
-        n = self.mesh.devices.size
-        B = sched_np["index"].shape[1]
-        pad = (-B) % n
-        if pad:
-            for k in keys:
-                x = sched_np[k]
-                fill = (
-                    np.zeros((x.shape[0], pad) + x.shape[2:], dtype=x.dtype)
-                    if k == "valid"
-                    else np.repeat(x[:, -1:], pad, axis=1)
-                )
-                sched_np[k] = np.concatenate([x, fill], axis=1)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        metrics afterwards.
 
-        sched_sharding = NamedSharding(self.mesh, P(None, "data"))
-        sched = {k: jax.device_put(v, sched_sharding) for k, v in sched_np.items()}
+        Logging semantics vs the per-step path: the LR lines/TB series are
+        identical (the schedule is a per-EPOCH staircase — optim.py
+        lr_at_epoch — so every step of this epoch shares one LR and
+        ``get_current_lr()`` reads it from the unchanged ``self.epoch``);
+        the NaN-loss FloatingPointError is necessarily DEFERRED to the end
+        of the epoch dispatch — the whole epoch runs on device before any
+        metric is host-visible, so a NaN at step k is raised after the
+        remaining steps executed (the per-step path raises at the next
+        PRINT_FREQ fetch)."""
+        t0 = time.time()
+        sched = self._maybe_device_schedule(num_batches)
+        if sched is None:
+            batches = list(self.train_loader_x.iter_index_batches())
+            keys = ("label", "domain", "index", "valid")
+            sched_np = {k: np.stack([b[k] for b in batches]) for k in keys}
+            # pad the batch axis to the mesh size exactly like shard_batch
+            n = self.mesh.devices.size
+            B = sched_np["index"].shape[1]
+            pad = (-B) % n
+            if pad:
+                for k in keys:
+                    x = sched_np[k]
+                    fill = (
+                        np.zeros((x.shape[0], pad) + x.shape[2:], dtype=x.dtype)
+                        if k == "valid"
+                        else np.repeat(x[:, -1:], pad, axis=1)
+                    )
+                    sched_np[k] = np.concatenate([x, fill], axis=1)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sched_sharding = NamedSharding(self.mesh, P(None, "data"))
+            sched = {k: jax.device_put(v, sched_sharding) for k, v in sched_np.items()}
         data_time.update(time.time() - t0)
 
         self.params, self.opt_state, metrics = self._train_epoch_resident(

@@ -58,13 +58,18 @@ def _reflect_pad(x, p=1):
 
 
 class FCN:
-    """Perturbation generator: x_p = x + lmda * tanh(regress(features))."""
+    """Perturbation generator: x_p = x + lmda * tanh(regress(features)).
+
+    Stateless (instance norm only) — ``state`` is an empty pytree and
+    ``apply_stateful`` exists so trainers can thread generator state
+    uniformly (the STN variant carries LocNet BatchNorm statistics)."""
 
     def __init__(self, input_nc=3, output_nc=3, nc=32, n_blocks=3, gctx=True,
                  seed=0):
         rng = np.random.RandomState(seed)
         self.n_blocks = n_blocks
         self.gctx = gctx
+        self.state = {}
         p = {"stem": _conv_init(rng, 3, 3, input_nc, nc)}
         for i in range(n_blocks):
             p[f"res{i}a"] = _conv_init(rng, 3, 3, nc, nc)
@@ -92,6 +97,10 @@ class FCN:
         if return_p:
             return x_p, p
         return x_p
+
+    def apply_stateful(self, params, state, x, lmda=1.0, train=False):
+        """(x_p, new_state) — uniform stateful contract for trainers."""
+        return self.apply(params, x, lmda=lmda), state
 
 
 def _affine_grid_sample(x, theta):
@@ -178,7 +187,14 @@ class LocNet:
 
 
 class FCNSTN(FCN):
-    """FCN with a spatial-transformer front end (stn=True variants)."""
+    """FCN with a spatial-transformer front end (stn=True variants).
+
+    The LocNet carries BatchNorm running statistics; the reference runs it
+    in train mode during G updates (ddaig_fcn.py:115-161 under
+    set_model_mode("train")), so ``apply_stateful`` normalizes with batch
+    stats and returns the updated running stats for the trainer to thread
+    through its G state pytree.  The stateless ``apply`` (eval helper /
+    ad-hoc callers) uses the init statistics in eval mode."""
 
     def __init__(self, input_nc=3, output_nc=3, nc=32, n_blocks=3, gctx=True,
                  image_size=32, seed=0):
@@ -190,9 +206,15 @@ class FCNSTN(FCN):
     def apply(self, params, x, lmda=1.0, return_p=False, state=None,
               train=False):
         loc_state = state if state is not None else self.state
-        theta, _ = self.locnet.apply(params["loc"], loc_state, x, train=False)
+        theta, _ = self.locnet.apply(params["loc"], loc_state, x, train=train)
         x = _affine_grid_sample(x, theta)
         return FCN.apply(self, params["fcn"], x, lmda=lmda, return_p=return_p)
+
+    def apply_stateful(self, params, state, x, lmda=1.0, train=False):
+        theta, new_state = self.locnet.apply(params["loc"], state, x,
+                                             train=train)
+        x = _affine_grid_sample(x, theta)
+        return FCN.apply(self, params["fcn"], x, lmda=lmda), new_state
 
 
 @NETWORK_REGISTRY.register()

@@ -160,6 +160,7 @@ class NetTrainerX(SimpleTrainer):
         self._eval_step = eval_step
         self._text_step = self._eval_with_txf = None
         self._train_step_resident = None
+        self._train_epoch_resident = None  # no fused/resident path for zoo nets
         self._device_cache = None
 
     def model_inference(self, images):
@@ -230,27 +231,35 @@ class NetTrainerXU(NetTrainerX):
 
         epoch_key = self._epoch_key()
         end = time.time()
-        for batch_idx in range(num_batches):
-            bx = shard_batch(next(it_x), self.mesh)
-            bu = shard_batch(next(it_u), self.mesh)
-            data_time.update(time.time() - end)
-            self.batch_idx = batch_idx
-            step_key = jax.random.fold_in(epoch_key, batch_idx)
-            (self.params, self.opt_state, self.model_state, self.extra,
-             metrics) = self._train_step_xu(
-                self.params, self.opt_state, self.model_state, self.extra,
-                bx, bu, step_key, self._global_step(batch_idx),
-            )
-            pending.append((batch_idx, metrics))
-            batch_time.update(time.time() - end)
+        try:
+            for batch_idx in range(num_batches):
+                bx = shard_batch(next(it_x), self.mesh)
+                bu = shard_batch(next(it_u), self.mesh)
+                data_time.update(time.time() - end)
+                self.batch_idx = batch_idx
+                step_key = jax.random.fold_in(epoch_key, batch_idx)
+                (self.params, self.opt_state, self.model_state, self.extra,
+                 metrics) = self._train_step_xu(
+                    self.params, self.opt_state, self.model_state, self.extra,
+                    bx, bu, step_key, self._global_step(batch_idx),
+                )
+                pending.append((batch_idx, metrics))
+                batch_time.update(time.time() - end)
 
-            if (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0 or (
-                batch_idx + 1 == num_batches
-            ):
-                for bi, m in pending:
-                    host = {k: float(v) for k, v in m.items()}
-                    self._record_metrics(losses, host, bi, num_batches)
-                pending.clear()
-                self._emit_train_line(losses, batch_time, data_time,
-                                      batch_idx, num_batches)
-            end = time.time()
+                if (batch_idx + 1) % self.cfg.TRAIN.PRINT_FREQ == 0 or (
+                    batch_idx + 1 == num_batches
+                ):
+                    for bi, m in pending:
+                        host = {k: float(v) for k, v in m.items()}
+                        self._record_metrics(losses, host, bi, num_batches)
+                    pending.clear()
+                    self._emit_train_line(losses, batch_time, data_time,
+                                          batch_idx, num_batches)
+                end = time.time()
+        finally:
+            # close the abandoned mid-pass iterators deterministically so
+            # each BatchLoader producer thread terminates now (its __iter__
+            # finally unblocks on close) instead of leaking a blocked thread
+            # + prefetched batches every epoch
+            it_x.close()
+            it_u.close()

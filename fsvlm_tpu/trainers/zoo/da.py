@@ -909,7 +909,14 @@ class DAEL(NetTrainerXU):
                     loss_x += (-y_i * jnp.log(pred_i + 1e-5)).sum(1).mean()
                     expert_label = jax.lax.stop_gradient(pred_i)
                     acc_x += 100.0 * (pred_i.argmax(1) == y_i.argmax(1)).mean()
-                    # consistency: mean of the OTHER experts on the strong view
+                    # consistency: mean of the OTHER experts on the strong
+                    # view.  Faithful to the reference, which averages over
+                    # the other domains PRESENT IN THE BATCH (cr_s = [j for
+                    # j in domain_x if j != i], da/dael.py:131) — not all
+                    # K-1 source experts — so with N_DOMAIN below
+                    # num_source_domains both implementations restrict to
+                    # the sampled domains (RandomDomainSampler draws
+                    # distinct domains, so ds has no duplicates).
                     all_p = experts_all(p["E"], f2_i)  # (split,K,C)
                     one_hot_d = jax.nn.one_hot(
                         jnp.stack([jnp.asarray(dj) for dj in ds]), K).sum(0)

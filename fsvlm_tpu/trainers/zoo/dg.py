@@ -163,15 +163,21 @@ class DDAIG(NetTrainerX):
         self.params = {"F": self.params["net"], "D": self.D_net.params,
                        "G": self.G_net.params}
         self.model_state = {"F": self.model_state["net"],
-                            "D": self.D_net.state}
+                            "D": self.D_net.state,
+                            "G": self.G_net.state}
         spe = max(len(self.train_loader_x), 1)
         F_net, D_net, G_net = self.F_net, self.D_net, self.G_net
 
-        def perturb(pg, x):
-            x_p = G_net.apply(pg, x, lmda=lmda)
+        def perturb(pg, sg, x):
+            # train=True: the reference keeps G in train mode for BOTH the
+            # G-update forward and the subsequent no_grad perturbation
+            # (set_model_mode("train"); ddaig.py:60-79), so the STN LocNet's
+            # BatchNorms normalize with batch stats and their running stats
+            # update on each forward — threaded here through state["G"]
+            x_p, nsg = G_net.apply_stateful(pg, sg, x, lmda=lmda, train=True)
             if clamp:
                 x_p = jnp.clip(x_p, clamp_min, clamp_max)
-            return x_p
+            return x_p, nsg
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
             x, y, d = bx["img"], bx["label"], bx["domain"]
@@ -180,18 +186,21 @@ class DDAIG(NetTrainerX):
 
             # Update G: minimize label loss, maximize domain loss
             def loss_G(pg):
-                x_p = perturb(pg, x)
+                x_p, nsg = perturb(pg, state["G"], x)
                 lf, _ = F_net.apply(params["F"], state["F"], x_p, True)
                 ld, _ = D_net.apply(params["D"], state["D"], x_p, True)
                 return (cross_entropy_logits(lf, y, vx)
-                        - cross_entropy_logits(ld, d, vx))
+                        - cross_entropy_logits(ld, d, vx)), nsg
 
-            loss_g, gG = jax.value_and_grad(loss_G)(params["G"])
+            (loss_g, ns_g), gG = jax.value_and_grad(
+                loss_G, has_aux=True)(params["G"])
             new_p, new_os = {}, {}
             new_p["G"], new_os["G"] = self.group_update(
                 gG, opt_state["G"], params["G"])
 
-            x_p = jax.lax.stop_gradient(perturb(new_p["G"], x))
+            x_p, ns_g = perturb(new_p["G"], ns_g, x)
+            x_p = jax.lax.stop_gradient(x_p)
+            ns_g = jax.lax.stop_gradient(ns_g)
 
             # Update F on clean (+ perturbed after warmup)
             def loss_F(pf):
@@ -218,7 +227,7 @@ class DDAIG(NetTrainerX):
             new_p["D"], new_os["D"] = self.group_update(
                 gD, opt_state["D"], params["D"])
 
-            state = {"F": ns_f, "D": ns_d}
+            state = {"F": ns_f, "D": ns_d, "G": ns_g}
             metrics = {"loss": loss_f, "loss_g": loss_g, "loss_f": loss_f,
                        "loss_d": loss_d}
             return new_p, new_os, state, extra, metrics
@@ -372,6 +381,10 @@ class DAELDG(NetTrainerX):
                     loss_x += (-y_i * jnp.log(pred_i + 1e-5)).sum(1).mean()
                     expert_label = jax.lax.stop_gradient(pred_i)
                     acc += 100.0 * (pred_i.argmax(1) == y_i.argmax(1)).mean()
+                    # averages the other experts PRESENT IN THE BATCH, like
+                    # the reference (dg/daeldg.py builds cr_s from the
+                    # batch's domains exactly as da/dael.py:131) — see the
+                    # DAEL comment in zoo/da.py
                     all_p = experts_all(p["E"], f2_i)
                     one_hot_d = jax.nn.one_hot(
                         jnp.stack([jnp.asarray(dj) for dj in ds]), K).sum(0)

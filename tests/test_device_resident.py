@@ -85,6 +85,52 @@ def test_iter_index_batches_contract(tmp_path):
         )
 
 
+def test_device_schedule_contract(tmp_path):
+    """TRAIN.DEVICE_SCHEDULE=on: the on-device schedule must be a
+    permutation of the dataset (per epoch, drop_last-truncated like the
+    host path), with labels/domains gathered consistently and a different
+    order each epoch."""
+    cfg = make_cfg(
+        tmp_path,
+        **{
+            "DATALOADER.DEVICE_AUG": True,
+            "DATALOADER.PRE_SIZE": 48,
+            "DATALOADER.TRAIN_X.BATCH_SIZE": 16,
+            "TRAIN.DEVICE_SCHEDULE": True,
+            "OPTIM.MAX_EPOCH": 2,
+            "TEST.NO_TEST": True,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    assert t._maybe_device_cache() is not None
+    assert t._resident_meta is not None
+    num_batches = len(t.train_loader_x)
+    n_items = len(t.train_loader_x.wrapper)
+    data = t.train_loader_x.wrapper.data_source
+
+    orders = []
+    for epoch in (0, 1):
+        t.epoch = epoch
+        sched = t._maybe_device_schedule(num_batches)
+        assert sched is not None
+        idx = np.asarray(sched["index"])
+        assert idx.shape == (num_batches, 16)
+        flat = idx.reshape(-1)
+        # drop_last semantics: a subset of a permutation, no duplicates
+        assert len(set(flat.tolist())) == len(flat) <= n_items
+        assert np.asarray(sched["valid"]).all()
+        labels = np.asarray(sched["label"]).reshape(-1)
+        np.testing.assert_array_equal(
+            labels, np.asarray([data[i].label for i in flat], np.int32)
+        )
+        orders.append(flat.tolist())
+    assert orders[0] != orders[1], "epoch shuffles must differ"
+
+    # and the trainer actually runs through it
+    t.train()
+
+
 def test_budget_gate_falls_back_to_host_path(tmp_path):
     t = run_trainer(tmp_path, "tiny_budget", "auto", budget_mb=0, epochs=1)
     assert t._device_cache is None  # over budget -> host path

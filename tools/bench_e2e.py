@@ -54,6 +54,11 @@ def main():
     cfg.OPTIM.MAX_EPOCH = EPOCHS + 1
     cfg.TEST.NO_TEST = True
     cfg.TRAIN.PRINT_FREQ = 10 ** 9
+    # build each epoch's index schedule on device (permute a resident index
+    # buffer with the epoch key): the fused epoch then ships ONE PRNG key
+    # per epoch instead of a host-stacked schedule (BENCH_DEVICE_SCHEDULE=off
+    # reproduces the round-2 host-schedule path)
+    cfg.TRAIN.DEVICE_SCHEDULE = os.environ.get("BENCH_DEVICE_SCHEDULE", "on") != "off"
     cfg.freeze()
 
     trainer = build_trainer(cfg)

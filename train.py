@@ -164,6 +164,12 @@ def main(args):
                 coord,
                 num_processes=int(os.environ["FSVLM_NUM_PROCESSES"]),
                 process_id=int(os.environ["FSVLM_PROCESS_ID"]),
+                # rendezvous can be slow on a saturated host (concurrent
+                # XLA compiles starve the coordinator thread); default is
+                # 300s — allow an override and a generous floor
+                initialization_timeout=int(
+                    os.environ.get("FSVLM_INIT_TIMEOUT", "600")
+                ),
             )
         else:
             jax.distributed.initialize()  # TPU pod: auto-detected
