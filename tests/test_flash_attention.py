@@ -7,6 +7,7 @@ import pytest
 
 from fsvlm_tpu.ops.flash_attention import (
     _reference_attention,
+    blockwise_attention,
     fused_attention,
 )
 from fsvlm_tpu.ops.attention import causal_mask
@@ -44,6 +45,52 @@ def test_kernel_gradients_match_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "L,d,with_mask,bq,bk",
+    [
+        (77, 64, True, 256, 512),    # CLIP text: single block (degenerate)
+        (201, 64, False, 256, 512),  # CLIP vision+VPT
+        (300, 32, True, 128, 128),   # multi-block q AND kv, non-divisible L
+        (513, 64, True, 256, 128),   # long-context: 3 q blocks x 5 kv blocks
+    ],
+)
+def test_blockwise_matches_reference(L, d, with_mask, bq, bk):
+    rng = np.random.RandomState(5)
+    B, H = 2, 2
+    q = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    mask = causal_mask(L) if with_mask else None
+
+    ref = _reference_attention(q, k, v, mask, d ** -0.5)
+    out = blockwise_attention(q, k, v, mask, bq, bk, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("L,bq,bk", [(77, 256, 512), (300, 128, 128)])
+def test_blockwise_gradients_match_reference(L, bq, bk):
+    """The O(L)-memory backward (lse-residual recomputation across the
+    blocked grid) must match autodiff through the reference attention."""
+    rng = np.random.RandomState(6)
+    B, H, d = 1, 2, 32
+    q = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    mask = causal_mask(L)
+    w = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))  # non-uniform cotangent
+
+    def loss_block(q, k, v):
+        return (blockwise_attention(q, k, v, mask, bq, bk, True) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, mask, d ** -0.5) * w).sum()
+
+    g_block = jax.grad(loss_block, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_block, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
 def test_per_example_key_mask_broadcast():
