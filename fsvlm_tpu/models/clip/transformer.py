@@ -134,7 +134,13 @@ def transformer(
             lora_xs["dkey"] = lora["dropout_keys"]
 
     xs = (blocks, deep_prompts, splice_flags, lora_xs)
-    x, layer_outputs = jax.lax.scan(body, x, xs)
+    # FSVLM_SCAN_UNROLL=k unrolls k layers per scan iteration: XLA can then
+    # fuse/pipeline across layer boundaries (perf experiment; default 1 =
+    # one compiled body, minimal program size for the remote compiler)
+    import os as _os
+
+    unroll = int(_os.environ.get("FSVLM_SCAN_UNROLL", "1"))
+    x, layer_outputs = jax.lax.scan(body, x, xs, unroll=unroll)
     if collect_activations:
         return x, layer_outputs
     return x
