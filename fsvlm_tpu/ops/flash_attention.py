@@ -530,11 +530,21 @@ def _reference_attention_blhd(q, k, v, mask, scale):
 
 def attention_dispatch(q, k, v, mask=None, layout="bhld"):
     """XLA fused attention by default; FSVLM_FORCE_PALLAS=1 forces the
-    Pallas kernel (interpret mode off-TPU, for testing).  layout="blhd"
-    takes/returns head-minor tensors without transposition."""
+    blockwise (flash) Pallas kernel, FSVLM_FORCE_PALLAS=legacy the
+    whole-sequence scaffold (interpret mode off-TPU, for testing).
+    layout="blhd" takes/returns head-minor tensors without transposition."""
     if layout == "blhd":
         return _reference_attention_blhd(q, k, v, mask, q.shape[-1] ** -0.5)
-    if _os.environ.get("FSVLM_FORCE_PALLAS") == "1":
+    force = _os.environ.get("FSVLM_FORCE_PALLAS")
+    if force == "1":
+        # blockwise wants a shared (L, L) additive mask; fall back to the
+        # whole-sequence kernel for broadcast per-example masks.
+        if mask is None or mask.ndim == 2:
+            return blockwise_attention(
+                q, k, v, mask, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                jax.default_backend() == "cpu")
+        return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
+    if force == "legacy":
         return fused_attention(q, k, v, mask, jax.default_backend() == "cpu")
     scale = q.shape[-1] ** -0.5
     if _os.environ.get("FSVLM_ATTN_REMAT") == "1":
