@@ -78,23 +78,35 @@ def main():
             else:
                 raise SystemExit(f"unknown mode {mode}")
 
+            # the axon tunnel adds ~30 ms of RTT per host fetch — amortize
+            # it by chaining INNER fwd+bwd iterations inside one dispatch
+            # (data-dependent carry so XLA cannot elide any iteration)
+            INNER = int(os.environ.get("ATTN_INNER", "20"))
+
             @jax.jit
             def step(q, k, v):
-                def loss(q, k, v):
-                    return fn(q, k, v).astype(jnp.float32).sum()
+                def one(carry, _):
+                    q_ = carry
 
-                l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
-                return l, grads[0][0, 0, 0, 0]
+                    def loss(q_, k_, v_):
+                        return fn(q_, k_, v_).astype(jnp.float32).sum()
+
+                    l, grads = jax.value_and_grad(
+                        loss, argnums=(0, 1, 2))(q_, k, v)
+                    return q_ + 1e-3 * grads[0].astype(q_.dtype), l
+
+                qf, ls = jax.lax.scan(one, q, None, length=INNER)
+                return ls[-1], qf
 
             try:
                 for _ in range(3):
-                    l, g0 = step(q, k, v)
+                    l, qf = step(q, k, v)
                 float(l)
                 t0 = time.time()
                 for _ in range(STEPS):
-                    l, g0 = step(q, k, v)
+                    l, qf = step(q, k, v)
                     assert float(l) == float(l)  # host fetch each step
-                ms = (time.time() - t0) / STEPS * 1e3
+                ms = (time.time() - t0) / (STEPS * INNER) * 1e3
                 print(json.dumps({
                     "mode": mode, "shape": [B, H, L, d],
                     "fwd_bwd_ms": round(ms, 3),
