@@ -28,16 +28,27 @@ from ...ops.attention import mha
 from ...ops.layers import layer_norm, linear, quick_gelu
 
 
-def _splice_text(x, prompt, n_ctx):
-    """Replace x[:, 1:1+n_ctx] with prompt (n_ctx, D)."""
+def _splice_text(x, prompt, n_ctx, flag):
+    """Replace x[:, 1:1+n_ctx] with prompt (n_ctx, D) where ``flag``.
+
+    The conditional select is sized (B, n_ctx, D) — NOT the full (B, L, D)
+    tensor — and written back with a dynamic_update_slice, which XLA turns
+    into an in-place carry update inside the layer scan (vs the previous
+    full-tensor where+concat: two whole-activation copies per layer)."""
     p = jnp.broadcast_to(prompt.astype(x.dtype), (x.shape[0], n_ctx, x.shape[-1]))
-    return jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
+    cur = jax.lax.dynamic_slice_in_dim(x, 1, n_ctx, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.where(flag, p, cur), 1, axis=1)
 
 
-def _splice_vision(x, prompt, n_ctx):
-    """Replace the trailing n_ctx tokens with prompt (n_ctx, D)."""
+def _splice_vision(x, prompt, n_ctx, flag):
+    """Replace the trailing n_ctx tokens with prompt (n_ctx, D) where
+    ``flag`` (same slice-sized select as _splice_text)."""
     p = jnp.broadcast_to(prompt.astype(x.dtype), (x.shape[0], n_ctx, x.shape[-1]))
-    return jnp.concatenate([x[:, : x.shape[1] - n_ctx], p], axis=1)
+    start = x.shape[1] - n_ctx
+    cur = jax.lax.dynamic_slice_in_dim(x, start, n_ctx, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.where(flag, p, cur), start, axis=1)
 
 
 def _block(params, x, n_heads, mask, lora_slice):
@@ -104,7 +115,7 @@ def transformer(
         params, prompt, flag, lora_slice = layer_inputs
         h = carry
         if n_ctx > 0:
-            h = jnp.where(flag, splice(h, prompt, n_ctx), h)
+            h = splice(h, prompt, n_ctx, flag)
         if has_dropout:
             lora_slice = dict(lora_slice)
             # per-layer typed PRNG key + static rate -> lora dropout in mha
