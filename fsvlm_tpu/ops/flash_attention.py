@@ -205,15 +205,19 @@ fused_attention.defvjp(_fwd, _bwd)
 
 import os as _os
 
-# Measured on v5e through this environment: XLA's fused attention beats the
-# whole-sequence kernel above at every relevant shape — PromptSRC step
-# L=201/77: XLA 529 vs 417 img/s; isolated L=1024 d=64 bf16: XLA 1.8 ms vs
-# 24 ms (the d=64 -> 128 lane padding doubles both matmuls, the
-# per-(batch, head) whole-sequence grid neither pipelines HBM->VMEM nor
-# tiles the L² working set).  "Don't hand-schedule what the compiler
-# already does": XLA is the default everywhere; FSVLM_FORCE_PALLAS=1
-# dispatches the BLOCKWISE kernel below (the round-2 VERDICT item), and
-# FSVLM_FORCE_PALLAS=legacy keeps the whole-sequence scaffold.
+# Measured on v5e through this environment (round-3 microbench,
+# tools/bench_attention.py, jitted fwd+bwd in bf16, tunnel RTT amortized
+# over a 20-iteration inner scan):
+#   (48,12,201,64) vision:  XLA 2.19 ms | blockwise 3.29 | whole-seq 3.91
+#   (100,8,77,64)  text:    XLA 1.92 ms | blockwise 3.03 | whole-seq 3.00
+#   (8,12,1024,64) long:    XLA 3.95 ms | blockwise 4.19 | whole-seq 2.96
+# XLA's fused attention wins at every CLIP shape (the d=64 -> 128 lane
+# padding doubles both Pallas matmuls; at these lengths the L^2 working
+# set fits VMEM so XLA's fusion already avoids HBM round-trips).  "Don't
+# hand-schedule what the compiler already does": XLA is the default
+# everywhere; FSVLM_FORCE_PALLAS=1 dispatches the BLOCKWISE kernel below
+# (the long-context scaffold, O(L) memory), and FSVLM_FORCE_PALLAS=legacy
+# keeps the whole-sequence scaffold.
 
 
 # --------------------------------------------------------------------------
