@@ -20,16 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "48"))  # round-2 sweep: 48 > 64
-# Round-2 defaults: 20-step fused dispatch (the production epoch-fused
-# trainer path batches a whole epoch — 21 steps at the e2e ladder's data
-# size — into one dispatch the same way, TRAIN.EPOCH_FUSE) + bf16
+# Round-3 defaults: 120-step fused dispatch (the production epoch-fused
+# trainer path batches a whole epoch into one dispatch the same way,
+# TRAIN.EPOCH_FUSE — a real ImageNet-16-shot epoch is 333 steps at bs 48,
+# so 120 still *understates* the amortization real training gets) + bf16
 # frozen-tower storage (MODEL.FROZEN_DTYPE=bf16; upstream CLIP ships fp16
-# weights).  BENCH_SCAN=0 BENCH_BF16_TOWERS=0 reproduces the round-1
-# per-dispatch fp32-tower configuration.
-SCAN_K = int(os.environ.get("BENCH_SCAN", "20"))
+# weights).  Round-3 ladder: scan 20 → 930, scan 60 → 953, scan 120 → 956
+# (the asymptote is the 50 ms on-device step).  BENCH_SCAN=0
+# BENCH_BF16_TOWERS=0 reproduces the round-1 per-dispatch fp32-tower
+# configuration.
+SCAN_K = int(os.environ.get("BENCH_SCAN", "120"))
 BF16_TOWERS = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
-STEPS = int(os.environ.get("BENCH_STEPS", "60"))
+STEPS = int(os.environ.get("BENCH_STEPS", "240"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
@@ -172,6 +175,31 @@ def main():
     train_step = jax.jit(_step)
 
     dump_path = os.environ.get("BENCH_DUMP_HLO")
+    if dump_path and SCAN_K:
+        # dump the SAME fused-dispatch program the bench times (and the
+        # profiler traces), so trace fusion names map 1:1 onto the dump
+        @jax.jit
+        def _dump_many(learnable, opt_state, frozen, images, labels):
+            def body(carry, _):
+                l, o = carry
+                l, o, loss = _step(l, o, frozen, images, labels)
+                return (l, o), loss
+
+            (l, o), losses = jax.lax.scan(
+                body, (learnable, opt_state), None, length=SCAN_K
+            )
+            return l, o, losses[-1]
+
+        images_d = jnp.zeros((BATCH, clip_cfg.image_resolution,
+                              clip_cfg.image_resolution, 3), jnp.float32)
+        labels_d = jnp.zeros((BATCH,), jnp.int32)
+        compiled = _dump_many.lower(
+            learnable, opt_state, frozen, images_d, labels_d).compile()
+        with open(dump_path, "w") as f:
+            f.write(compiled.as_text())
+        print(json.dumps({"metric": "hlo-dump", "path": dump_path,
+                          "scan_k": SCAN_K}))
+        return
     if dump_path:
         # compile-only mode: write the optimized device HLO + compiler cost
         # analysis so profile fusion names (profile_bench.py) can be mapped
