@@ -341,10 +341,12 @@ def main():
 
             env = dict(os.environ)
             env.setdefault("BENCH_BATCH", str(BATCH))
-            # 128 shots x 8 classes = 1024 resident images (~21 steps/epoch
-            # at bs 48): closer to the reference's ImageNet-16-shot epoch
-            # size, so per-epoch dispatch overhead amortizes realistically
-            env.setdefault("BENCH_SHOTS", "128")
+            # 512 shots x 8 classes = 4096 resident images (85 steps/epoch
+            # at bs 48, 768 MB HBM): approaching the reference's ImageNet-
+            # 16-shot epoch (333 steps at bs 48), so per-epoch fixed
+            # overhead amortizes the way real training does (round-3
+            # measured: 21-step epochs 829 img/s, 85-step epochs 948.9)
+            env.setdefault("BENCH_SHOTS", "512")
             env.setdefault("BENCH_EPOCHS", "3")
             if bf16_on:
                 env.setdefault("BENCH_FROZEN_DTYPE", "bf16")

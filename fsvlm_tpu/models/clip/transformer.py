@@ -151,7 +151,13 @@ def transformer(
     import os as _os
 
     unroll = int(_os.environ.get("FSVLM_SCAN_UNROLL", "1"))
-    x, layer_outputs = jax.lax.scan(body, x, xs, unroll=unroll)
+    # FSVLM_SCAN_SPLIT_TRANSPOSE=1 lowers the scan's transpose (backward)
+    # as two passes (jax _split_transpose), which can schedule the residual
+    # re-reads better (perf experiment, numerically identical)
+    split_t = _os.environ.get("FSVLM_SCAN_SPLIT_TRANSPOSE") == "1"
+    x, layer_outputs = jax.lax.scan(
+        body, x, xs, unroll=unroll, _split_transpose=split_t
+    )
     if collect_activations:
         return x, layer_outputs
     return x
