@@ -142,11 +142,17 @@ def _run_fsvlm_steps(trainer, batches, record):
             record(ep, bi, float(metrics["loss"]), trainer.params)
 
 
-def test_coop_trajectory_parity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("loss_type", ["ce", "focal"])
+def test_coop_trajectory_parity(tmp_path, monkeypatch, loss_type):
     """10 steps / 5 epochs of the REAL reference CoOp.forward_backward
     (coop.py:437-459: loss -> zero_grad -> backward -> SGD step ->
     update_lr at epoch end) vs our jitted step: the ctx trajectories must
-    match step-for-step."""
+    match step-for-step.
+
+    loss_type="focal" additionally proves the fork's headline imbalance
+    machinery composes identically: MultiClassFocalLoss with
+    inverse-frequency alpha from DATASET.PER_CLASS_SHOTS
+    (coop.py:131-162 focal, :326-346 alpha derivation)."""
     import torch
 
     trainers_pkg = import_reference_trainers()  # noqa: F401
@@ -160,7 +166,15 @@ def test_coop_trajectory_parity(tmp_path, monkeypatch):
     cfg.TRAINER.COOP.PREC = "fp32"
     cfg.TRAINER.COOP.CSC = False
     cfg.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
-    cfg.TRAINER.COOP.LOSS_TYPE = "ce"
+    cfg.TRAINER.COOP.LOSS_TYPE = loss_type
+    if loss_type == "focal":
+        # imbalanced shot list over the 8 classes -> inverse-freq alpha
+        cfg.DATASET.PER_CLASS_SHOTS = [16, 8, 4, 2, 1, 1, 1, 1]
+        # the Synthetic fixture generates 34 train images from that list;
+        # bs 17 keeps the trainer's loader at STEPS_PER_EPOCH=2 batches so
+        # its precomputed LR staircase advances epochs on the same step
+        # boundaries as the reference shim's num_batches=2
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 17
     cfg.freeze()
 
     design = {
