@@ -401,3 +401,106 @@ def test_promptsrc_trajectory_and_gpa_parity(tmp_path, monkeypatch):
         np.asarray(trainer.params["ctx"]), ref_final_ctx, rtol=2e-3, atol=2e-5,
         err_msg="GPA aggregate diverged",
     )
+
+
+def test_plip_grad_penalty_trajectory_parity(tmp_path, monkeypatch):
+    """Higher-order AD composition: the reference PLIP 'grad' mode computes
+    a create_graph gradient-norm penalty (plip.py:269-279: d/dctx of CE,
+    per-token L2 norms, mean((norm-K)^2)) and backpropagates through it.
+    Drive the real PLIP.forward_backward N steps and assert our
+    jax.grad-of-jax.value_and_grad step matches losses, penalties, and ctx
+    step-for-step."""
+    import torch
+
+    trainers_pkg = import_reference_trainers()  # noqa: F401
+    import trainers.plip as ref_plip
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TRAINER.NAME = "PLIP"
+    node = cfg.TRAINER.PLIP
+    node.N_CTX_TEXT = 4
+    node.N_CTX_VISION = 0
+    node.CTX_INIT = "a photo of a"
+    node.PREC = "fp32"
+    node.PROMPT_DEPTH_TEXT = 0
+    node.PROMPT_DEPTH_VISION = 0
+    node.REG_TYPE = "grad"
+    node.K = 1
+    node.REG_COEFF = 1.0  # large enough that the penalty shapes the path
+    cfg.freeze()
+
+    design = {
+        "trainer": "IVLP",
+        "vision_depth": 0,
+        "language_depth": 0,
+        "vision_ctx": 0,
+        "language_ctx": 4,
+    }
+    torch_model = _tiny_torch_clip(design, seed=29)
+    batches = _batches(seed=11)
+
+    # ---- reference side
+    model = ref_plip.CustomCLIP(cfg, CLASSNAMES, torch_model)
+    for name, p in model.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    model.train()
+    shim = _ref_trainer_shim(ref_plip.PLIP, cfg, model, model.prompt_learner)
+
+    # torch's flash-SDPA CPU kernel has no double-backward derivative; the
+    # math backend does (and is what the penalty's create_graph path needs)
+    from torch.nn.attention import SDPBackend, sdpa_kernel
+
+    ref_losses, ref_pens, ref_ctx = [], [], []
+    with sdpa_kernel(SDPBackend.MATH):
+        for ep in range(N_EPOCHS):
+            for bi in range(STEPS_PER_EPOCH):
+                imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+                shim.batch_idx = bi
+                summary = shim.forward_backward(
+                    {
+                        "img": torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                        "label": torch.from_numpy(labels),
+                    }
+                )
+                ref_losses.append(summary["loss"])
+                ref_pens.append(summary["penalty"])
+                ref_ctx.append(model.prompt_learner.ctx.detach().numpy().copy())
+
+    # ---- fsvlm side
+    import fsvlm_tpu.trainers.plip as our_plip
+
+    trainer = _build_fsvlm_trainer(cfg, torch_model, monkeypatch, our_plip)
+    assert trainer.steps_per_epoch == STEPS_PER_EPOCH
+    assert set(trainer.params) == {"ctx"}
+
+    our_losses, our_pens, our_ctx = [], [], []
+    for ep in range(N_EPOCHS):
+        trainer.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+            batch = {
+                "img": imgs,
+                "label": labels.astype(np.int32),
+                "domain": np.zeros(BATCH, np.int32),
+                "index": np.arange(BATCH, dtype=np.int32),
+                "valid": np.ones(BATCH, bool),
+            }
+            trainer.batch_idx = bi
+            metrics = trainer.forward_backward(batch)
+            our_losses.append(float(metrics["loss"]))
+            our_pens.append(float(metrics["penalty"]))
+            our_ctx.append(np.asarray(trainer.params["ctx"]))
+
+    for k in range(N_EPOCHS * STEPS_PER_EPOCH):
+        assert abs(our_losses[k] - ref_losses[k]) < 1e-3 * (
+            1 + abs(ref_losses[k])
+        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
+        assert abs(our_pens[k] - ref_pens[k]) < 1e-3 * (
+            1 + abs(ref_pens[k])
+        ), f"penalty diverged at step {k}: {our_pens[k]} vs {ref_pens[k]}"
+        np.testing.assert_allclose(
+            our_ctx[k], ref_ctx[k], rtol=2e-3, atol=2e-5,
+            err_msg=f"ctx diverged at step {k}",
+        )
