@@ -504,3 +504,97 @@ def test_plip_grad_penalty_trajectory_parity(tmp_path, monkeypatch):
             our_ctx[k], ref_ctx[k], rtol=2e-3, atol=2e-5,
             err_msg=f"ctx diverged at step {k}",
         )
+
+
+def test_coop_simclr_trajectory_parity(tmp_path, monkeypatch):
+    """The fork's logit-space SimCLR aux loss (LogitsNTXentLoss,
+    coop.py:66-128): drive the real CoOp.forward_backward in simclr mode
+    (two explicit views, label ignored) and assert the loss and ctx
+    trajectories match our nt_xent-based step — the (2N,2N-1) gather
+    formulation and our masked logsumexp formulation are the same loss."""
+    import torch
+
+    trainers_pkg = import_reference_trainers()  # noqa: F401
+    import trainers.coop as ref_coop
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.TRAINER.COOP.N_CTX = 4
+    cfg.TRAINER.COOP.CTX_INIT = "a photo of a"
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.TRAINER.COOP.CSC = False
+    cfg.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
+    cfg.TRAINER.COOP.LOSS_TYPE = "simclr"
+    cfg.freeze()
+
+    design = {
+        "trainer": "CoOp",
+        "vision_depth": 0,
+        "language_depth": 0,
+        "vision_ctx": 0,
+        "language_ctx": 0,
+    }
+    torch_model = _tiny_torch_clip(design, seed=31)
+
+    rng = np.random.RandomState(19)
+    views = [
+        (
+            rng.randn(BATCH, 32, 32, 3).astype(np.float32),
+            rng.randn(BATCH, 32, 32, 3).astype(np.float32),
+        )
+        for _ in range(N_EPOCHS * STEPS_PER_EPOCH)
+    ]
+
+    # ---- reference side
+    model = ref_coop.CustomCLIP(cfg, CLASSNAMES, torch_model)
+    for name, p in model.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    model.train()
+    shim = _ref_trainer_shim(ref_coop.CoOp, cfg, model, model.prompt_learner)
+
+    ref_losses, ref_ctx = [], []
+    for ep in range(N_EPOCHS):
+        for bi in range(STEPS_PER_EPOCH):
+            v1, v2 = views[ep * STEPS_PER_EPOCH + bi]
+            shim.batch_idx = bi
+            summary = shim.forward_backward(
+                {
+                    "img1": torch.from_numpy(v1.transpose(0, 3, 1, 2)),
+                    "img2": torch.from_numpy(v2.transpose(0, 3, 1, 2)),
+                    "label": torch.zeros(BATCH, dtype=torch.long),
+                }
+            )
+            ref_losses.append(summary["loss"])
+            ref_ctx.append(model.prompt_learner.ctx.detach().numpy().copy())
+
+    # ---- fsvlm side
+    import fsvlm_tpu.trainers.coop as our_coop
+
+    trainer = _build_fsvlm_trainer(cfg, torch_model, monkeypatch, our_coop)
+
+    our_losses, our_ctx = [], []
+    for ep in range(N_EPOCHS):
+        trainer.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            v1, v2 = views[ep * STEPS_PER_EPOCH + bi]
+            batch = {
+                "img": v1,
+                "img2": v2,
+                "label": np.zeros(BATCH, np.int32),
+                "valid": np.ones(BATCH, bool),
+            }
+            trainer.batch_idx = bi
+            metrics = trainer.forward_backward(batch)
+            our_losses.append(float(metrics["loss"]))
+            our_ctx.append(np.asarray(trainer.params["ctx"]))
+
+    for k in range(N_EPOCHS * STEPS_PER_EPOCH):
+        assert abs(our_losses[k] - ref_losses[k]) < 1e-3 * (
+            1 + abs(ref_losses[k])
+        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
+        np.testing.assert_allclose(
+            our_ctx[k], ref_ctx[k], rtol=2e-3, atol=2e-5,
+            err_msg=f"ctx diverged at step {k}",
+        )
