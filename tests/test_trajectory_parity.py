@@ -770,3 +770,103 @@ def test_lora_trajectory_parity(tmp_path, monkeypatch):
                     atol=1e-4,
                     err_msg=f"lora {name} {key} diverged at step {k}",
                 )
+
+
+def test_linear_probe_trajectory_parity(tmp_path, monkeypatch):
+    """Linear probe on frozen CLIP features (linear_probe.py:150-171
+    forward_backward: unnormalized encoder features -> nn.Linear -> CE):
+    head weight/bias trajectories match our stop_gradient feature +
+    feat@W+b step step-for-step."""
+    import torch
+
+    trainers_pkg = import_reference_trainers()  # noqa: F401
+    import trainers.linear_probe as ref_lp
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TRAINER.NAME = "LinearProbeCLIP"
+    cfg.TRAINER.LINEAR_PROBE.LOSS_TYPE = "ce"
+    cfg.TRAINER.LINEAR_PROBE.USE_BIAS = True
+    cfg.freeze()
+
+    design = {
+        "trainer": "CoOp",
+        "vision_depth": 0,
+        "language_depth": 0,
+        "vision_ctx": 0,
+        "language_ctx": 0,
+    }
+    torch_model = _tiny_torch_clip(design, seed=41)
+    batches = _batches(seed=29)
+
+    # ---- reference side (mirror build_model without data/download)
+    from dassl.engine.trainer import TrainerBase
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    shim = ref_lp.LinearProbeCLIP.__new__(ref_lp.LinearProbeCLIP)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.image_encoder = torch_model.visual
+    torch.manual_seed(5)
+    head = torch.nn.Linear(64, N_CLS, bias=True)
+    shim.linear_head = head
+    shim.criterion = torch.nn.CrossEntropyLoss()
+    shim.optim = build_optimizer(head, cfg.OPTIM)
+    shim.sched = build_lr_scheduler(shim.optim, cfg.OPTIM)
+    shim.register_model("linear_head", head, shim.optim, shim.sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.epoch = 0
+
+    init_w = head.weight.detach().numpy().copy()
+    init_b = head.bias.detach().numpy().copy()
+
+    ref_losses, ref_w = [], []
+    for ep in range(N_EPOCHS):
+        for bi in range(STEPS_PER_EPOCH):
+            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+            shim.batch_idx = bi
+            summary = shim.forward_backward(
+                {
+                    "img": torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                    "label": torch.from_numpy(labels),
+                }
+            )
+            ref_losses.append(summary["loss"])
+            ref_w.append(
+                (
+                    head.weight.detach().numpy().copy(),
+                    head.bias.detach().numpy().copy(),
+                )
+            )
+
+    # ---- fsvlm side
+    import jax.numpy as jnp
+
+    import fsvlm_tpu.trainers.linear_probe as our_lp
+
+    trainer = _build_fsvlm_trainer(cfg, torch_model, monkeypatch, our_lp)
+    assert set(trainer.params) == {"w", "b"}
+    trainer.params["w"] = jnp.asarray(init_w.T)
+    trainer.params["b"] = jnp.asarray(init_b)
+
+    our_losses, our_w = [], []
+
+    def record(ep, bi, loss, params):
+        our_losses.append(loss)
+        our_w.append((np.asarray(params["w"]).T, np.asarray(params["b"])))
+
+    _run_fsvlm_steps(trainer, batches, record)
+
+    for k in range(N_EPOCHS * STEPS_PER_EPOCH):
+        assert abs(our_losses[k] - ref_losses[k]) < 5e-4 * (
+            1 + abs(ref_losses[k])
+        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
+        np.testing.assert_allclose(
+            our_w[k][0], ref_w[k][0], rtol=2e-3, atol=2e-5,
+            err_msg=f"head W diverged at step {k}",
+        )
+        np.testing.assert_allclose(
+            our_w[k][1], ref_w[k][1], rtol=2e-3, atol=2e-5,
+            err_msg=f"head b diverged at step {k}",
+        )
