@@ -47,6 +47,11 @@ def main():
     cfg.MODEL.FROZEN_DTYPE = os.environ.get("BENCH_FROZEN_DTYPE", "fp32")
     cfg.TRAINER.NAME = "PromptSRC"
     cfg.TRAINER.PROMPTSRC.PREC = "bf16" if jax.default_backend() != "cpu" else "fp32"
+    # BENCH_CACHED_TEACHER=1 measures the shipped fast-SCL config
+    # (TRAINER.PROMPTSRC.CACHED_TEACHER: per-epoch teacher features)
+    cfg.TRAINER.PROMPTSRC.CACHED_TEACHER = (
+        os.environ.get("BENCH_CACHED_TEACHER", "0") == "1"
+    )
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = BATCH
     cfg.DATALOADER.TEST.BATCH_SIZE = BATCH
     cfg.DATALOADER.DEVICE_AUG = True
@@ -82,7 +87,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"PromptSRC {ARCH} end-to-end train loop (input+aug+step)",
+                "metric": f"PromptSRC {ARCH} end-to-end train loop (input+aug+step)"
+                + (", cached teacher" if cfg.TRAINER.PROMPTSRC.CACHED_TEACHER else ""),
                 "value": round(imgs / dt, 2),
                 "unit": "images/sec/chip",
             }
