@@ -717,3 +717,174 @@ def test_mcd_trajectory_parity(tmp_path):
         assert ours_div < 20.0 * max(1e-3, self_div), (
             f"{key}: our divergence {ours_div:.4f} is not explained by the "
             f"reference's own fp sensitivity {self_div:.4f}")
+
+
+def test_crossgrad_trajectory_parity(tmp_path):
+    """dg/crossgrad.py: label net F and domain net D compute CLIPPED input
+    gradients of each other's losses, perturb the inputs, then take TWO
+    sequential optimizer steps — F on (1-a)CE(x) + aCE(x + eps*clip(dL_D/dx))
+    and D symmetrically.  Four backward passes per iteration (two through
+    the INPUT, two through the weights); both nets' weight trajectories
+    must match the reference step-for-step."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.dg.crossgrad import CrossGrad as RefCG
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    cfg = _zoo_cfg(tmp_path)
+    cfg.TRAINER.NAME = "CrossGrad"
+    cfg.freeze()
+    n_domains = len(cfg.DATASET.SOURCE_DOMAINS)
+
+    torch.manual_seed(23)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
+    D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
+    init_F = _convert_net(F_net, N_CLS)
+    init_D = _convert_net(D_net, n_domains)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(31)
+    batches = [
+        (
+            rng.randn(BX, 32, 32, 3).astype(np.float32),
+            rng.randint(0, N_CLS, size=BX).astype(np.int64),
+            rng.randint(0, n_domains, size=BX).astype(np.int64),
+        )
+        for _ in range(n_steps)
+    ]
+
+    shim = RefCG.__new__(RefCG)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.eps_f = cfg.TRAINER.CROSSGRAD.EPS_F
+    shim.eps_d = cfg.TRAINER.CROSSGRAD.EPS_D
+    shim.alpha_f = cfg.TRAINER.CROSSGRAD.ALPHA_F
+    shim.alpha_d = cfg.TRAINER.CROSSGRAD.ALPHA_D
+    for name, mod in (("F", F_net), ("D", D_net)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        setattr(shim, name, mod)
+        shim.register_model(name, mod, opt, sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    def torch_batch(imgs, labels, domains):
+        b = _torch_batch(imgs, labels)
+        b["domain"] = torch.from_numpy(domains)
+        return b
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, N_CLS),
+                             "D": _convert_net(D_net, n_domains)})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"F", "D"}
+    ours.params = {"F": _to_jnp(init_F), "D": _to_jnp(init_D)}
+    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "D")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "F_conv0": np.asarray(ours.params["F"]["backbone"]["conv0"]["w"]),
+            "F_cls": np.asarray(ours.params["F"]["classifier"]["w"]),
+            "D_conv0": np.asarray(ours.params["D"]["backbone"]["conv0"]["w"]),
+            "D_cls": np.asarray(ours.params["D"]["classifier"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        imgs, labels, domains = batches[ep * STEPS_PER_EPOCH + bi]
+        b = _our_batch(imgs, labels)
+        b["domain"] = domains.astype(np.int32)
+        return b, None
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_f", "loss_d"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["F_conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["F_cls"],
+                      ref_snap[k]["F"]["classifier"]["w"], "F classifier W", k)
+        _assert_close(our_snap[k]["D_conv0"],
+                      ref_snap[k]["D"]["backbone"]["conv0"]["w"], "D conv0", k)
+        _assert_close(our_snap[k]["D_cls"],
+                      ref_snap[k]["D"]["classifier"]["w"], "D classifier W", k)
+
+
+def test_entmin_trajectory_parity(tmp_path):
+    """ssl/entmin.py: CE(x) + LMDA * H(softmax(u)) with the reference's
+    +1e-5 log epsilon, single optimizer.  Joint labeled+unlabeled gradient
+    through one net; weight trajectory must match step-for-step."""
+    import_reference_trainers()
+    from dassl.engine.ssl.entmin import EntMin as RefEntMin
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False})
+    cfg.TRAINER.NAME = "EntMin"
+    cfg.freeze()
+
+    model = _ref_simplenet(cfg, N_CLS)
+    init_params = _convert_net(model, N_CLS)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=41)
+    bu_batches = _batches(n_steps, BU, seed=42)
+
+    shim = _base_shim(RefEntMin, cfg, model)
+    shim.lmda = cfg.TRAINER.ENTMIN.LMDA
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+            ref_out.append(out)
+            ref_snap.append(_convert_net(model, N_CLS))
+
+    ours = _build_our_trainer(cfg)
+    ours.params = {"net": _to_jnp(init_params)}
+    ours.opt_state = ours.tx.init(ours.params)
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        return _our_batch(*bx_batches[k]), _our_batch(*bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_x", "loss_u", "acc_x"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+        _assert_close(our_snap[k]["cls_w"],
+                      ref_snap[k]["classifier"]["w"], "classifier W", k)
