@@ -67,6 +67,7 @@ class NetTrainerX(SimpleTrainer):
 
     model_name = "model"
     param_groups = None  # subclass: list of top-level param keys, or None
+    _tx_group = {}  # group -> tx override (multi-update-per-step schedules)
 
     def build_model(self):
         cfg = self.cfg
@@ -117,22 +118,46 @@ class NetTrainerX(SimpleTrainer):
             self._num_batches() if hasattr(self, "_num_batches")
             else len(self.train_loader_x), 1)
         self.tx, self.lr_schedule = build_optimizer(self.cfg, self.steps_per_epoch)
+        self._tx_group = {}
         if self.param_groups is None:
             self.opt_state = self.tx.init(self.params)
         else:
             # one optimizer state per model group (the reference registers a
-            # torch optimizer per model, dassl trainer.py:86-116)
+            # torch optimizer per model, dassl trainer.py:86-116).  Groups
+            # that are stepped k>1 times per trainer iteration (MCD's 3-phase
+            # F, MME's two backwards, ...) get a schedule that divides the
+            # optax update count by k: the reference advances its LR
+            # schedulers once per iteration/epoch (dassl trainer.py:214-230),
+            # so every intra-iteration update must see the SAME staircase LR.
+            ups = self.group_updates_per_step()
+            for g in self.param_groups:
+                k = int(ups.get(g, 1))
+                if k > 1:
+                    sched = self.lr_schedule
+                    self._tx_group[g], _ = build_optimizer(
+                        self.cfg, self.steps_per_epoch,
+                        schedule_override=(
+                            lambda c, _s=sched, _k=k: _s(c // _k)))
             self.opt_state = {
-                g: self.tx.init(self.params[g]) for g in self.param_groups
+                g: self._tx_group.get(g, self.tx).init(self.params[g])
+                for g in self.param_groups
             }
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         print(f"# params to be updated: {n_params:,}")
 
-    def group_update(self, grads_g, opt_state_g, params_g):
+    def group_updates_per_step(self):
+        """Optimizer updates per trainer iteration for each param group.
+        Subclasses with multiple backward+step phases per iteration
+        (da/mcd.py, da/mme.py, da/m3sda.py) override this so their LR
+        schedule does not advance k times per iteration."""
+        return {}
+
+    def group_update(self, grads_g, opt_state_g, params_g, group=None):
         """One optimizer step for a single param group (inside step_core)."""
         import optax
 
-        updates, new_os = self.tx.update(grads_g, opt_state_g, params_g)
+        tx = self._tx_group.get(group, self.tx)
+        updates, new_os = tx.update(grads_g, opt_state_g, params_g)
         return optax.apply_updates(params_g, updates), new_os
 
     # ------------------------------------------------------------------ jit

@@ -240,6 +240,10 @@ class MCD(NetTrainerXU):
 
     param_groups = ["F", "C1", "C2"]
 
+    def group_updates_per_step(self):
+        # F steps in phase A and n_step_F times in phase C; C1/C2 in A and B.
+        return {"F": 1 + int(self.cfg.TRAINER.MCD.N_STEP_F), "C1": 2, "C2": 2}
+
     def build_method(self):
         cfg = self.cfg
         self.use_feature_net()
@@ -272,7 +276,7 @@ class MCD(NetTrainerXU):
             new_p, new_os = {}, {}
             for g in ("F", "C1", "C2"):
                 new_p[g], new_os[g] = self.group_update(
-                    gA[g], opt_state[g], params[g])
+                    gA[g], opt_state[g], params[g], group=g)
             state = dict(state, F=ns_f)
 
             # Step B: maximize discrepancy w.r.t. C1/C2 (F frozen, no-grad
@@ -296,7 +300,8 @@ class MCD(NetTrainerXU):
             loss_b, gB = jax.value_and_grad(loss_B)(
                 {"C1": new_p["C1"], "C2": new_p["C2"]})
             for g in ("C1", "C2"):
-                new_p[g], new_os[g] = self.group_update(gB[g], new_os[g], new_p[g])
+                new_p[g], new_os[g] = self.group_update(
+                    gB[g], new_os[g], new_p[g], group=g)
 
             # Step C: minimize discrepancy w.r.t. F, n_step_F times
             loss_c = jnp.float32(0.0)
@@ -310,7 +315,7 @@ class MCD(NetTrainerXU):
                 (loss_c, ns_f), gC = jax.value_and_grad(
                     loss_C, has_aux=True)(new_p["F"], state["F"])
                 new_p["F"], new_os["F"] = self.group_update(
-                    gC, new_os["F"], new_p["F"])
+                    gC, new_os["F"], new_p["F"], group="F")
                 state = dict(state, F=ns_f)
 
             metrics = {"loss": loss_a, "loss_step_A": loss_a,
@@ -333,6 +338,10 @@ class MME(NetTrainerXU):
 
     param_groups = ["net", "C"]
 
+    def group_updates_per_step(self):
+        # both groups step after the supervised AND the entropy backward
+        return {"net": 2, "C": 2}
+
     def build_method(self):
         self.use_feature_net()
         lmda = float(self.cfg.TRAINER.MME.LMDA)
@@ -352,7 +361,7 @@ class MME(NetTrainerXU):
             new_p, new_os = {}, {}
             for g in ("net", "C"):
                 new_p[g], new_os[g] = self.group_update(
-                    g1[g], opt_state[g], params[g])
+                    g1[g], opt_state[g], params[g], group=g)
 
             def ent_loss(p):
                 f, ns = net.apply(p["net"], ns_net, bu["img"], train=True)
@@ -364,7 +373,8 @@ class MME(NetTrainerXU):
             (loss_u, ns_net), g2 = jax.value_and_grad(
                 ent_loss, has_aux=True)(new_p)
             for g in ("net", "C"):
-                new_p[g], new_os[g] = self.group_update(g2[g], new_os[g], new_p[g])
+                new_p[g], new_os[g] = self.group_update(
+                    g2[g], new_os[g], new_p[g], group=g)
 
             state = dict(state, net=ns_net)
             metrics = {"loss": loss_x, "loss_x": loss_x,
@@ -450,6 +460,10 @@ class M3SDA(NetTrainerXU):
 
     param_groups = ["F", "C"]
 
+    def group_updates_per_step(self):
+        # F steps in phase A and n_step_F times in phase C; C in A and B.
+        return {"F": 1 + int(self.cfg.TRAINER.M3SDA.N_STEP_F), "C": 2}
+
     def check_cfg(self, cfg):
         assert cfg.DATALOADER.TRAIN_X.SAMPLER == "RandomDomainSampler"
         assert not cfg.DATALOADER.TRAIN_U.SAME_AS_X
@@ -533,7 +547,7 @@ class M3SDA(NetTrainerXU):
             new_p, new_os = {}, {}
             for g in ("F", "C"):
                 new_p[g], new_os[g] = self.group_update(
-                    gA[g], opt_state[g], params[g])
+                    gA[g], opt_state[g], params[g], group=g)
             state = dict(state, F=ns_f)
 
             # Step B: classifiers maximize discrepancy (features frozen)
@@ -559,7 +573,7 @@ class M3SDA(NetTrainerXU):
 
             loss_b, gB = jax.value_and_grad(loss_B)(new_p["C"])
             new_p["C"], new_os["C"] = self.group_update(
-                gB, new_os["C"], new_p["C"])
+                gB, new_os["C"], new_p["C"], group="C")
 
             # Step C: features minimize discrepancy
             loss_c = jnp.float32(0.0)
@@ -577,7 +591,7 @@ class M3SDA(NetTrainerXU):
                 (loss_c, ns_f), gC = jax.value_and_grad(
                     loss_C, has_aux=True)(new_p["F"], state["F"])
                 new_p["F"], new_os["F"] = self.group_update(
-                    gC, new_os["F"], new_p["F"])
+                    gC, new_os["F"], new_p["F"], group="F")
                 state = dict(state, F=ns_f)
 
             metrics = {"loss": loss_a, "loss_step_A": loss_a,
@@ -654,11 +668,15 @@ class CDAC(NetTrainerXU):
             t = count.astype(jnp.float32) if hasattr(count, "astype") else float(count)
             return (1.0 + (t / max_iter) * 10.0) ** (-0.75)
 
+        # each group steps TWICE per iteration (Eq.2 then Eq.3/4/8, both
+        # with model_backward_and_update in the reference) while the
+        # reference's LambdaLR advances once per iteration (cdac.py:225), so
+        # the optax update count maps to the iteration count via // 2
         def sched_F(c):
-            return cfg.OPTIM.LR * anneal(c)
+            return cfg.OPTIM.LR * anneal(c // 2)
 
         def sched_C(c):
-            return cfg.OPTIM.LR * float(node.CLASS_LR_MULTI) * anneal(c)
+            return cfg.OPTIM.LR * float(node.CLASS_LR_MULTI) * anneal(c // 2)
 
         sched_F.lr_at_epoch = lambda e: float(
             cfg.OPTIM.LR * anneal(float(e * self.steps_per_epoch)))

@@ -578,19 +578,15 @@ def test_mcd_trajectory_parity(tmp_path):
     """da/mcd.py: THREE sequential optimizer phases inside one iteration —
     (A) CE through F+C1+C2, (B) maximize classifier discrepancy w.r.t.
     C1/C2 on detached features, (C) minimize it w.r.t. F, N_STEP_F times —
-    each phase reading the weights the previous phase just wrote.
-
-    Tolerance structure (measured, deterministic on both sides): within
-    step 0, phase A / B / first-C updates match torch to <=3e-6 and the
-    three phase losses to <=3e-7 — that is the composition evidence.
-    The SECOND C iteration re-runs conv->relu->maxpool backward through
-    weights that already differ by ~2.5e-6, and at that point the batch
-    has a ReLU preactivation within 1e-5 of zero plus maxpool top-2
-    near-ties < 1e-5 with a nonzero winner: one flipped gate reroutes the
-    |p1-p2| discrepancy gradient macroscopically (7.8e-4 weight diff with
-    identical loss to 1.2e-7).  From step 1 on the trajectories are two
-    valid fp32 realizations of a chaotic map, so later steps only assert
-    a qualitative tracking band on the per-phase losses."""
+    each phase reading the weights the previous phase just wrote, while
+    the LR staircase advances once per ITERATION (the reference steps its
+    schedulers per epoch, dassl trainer.py:214-230, never per optimizer
+    step) — which is why NetTrainerX.group_updates_per_step divides the
+    optax update count by the per-group phase count.  With that division
+    in place the full 8-step trajectory (weights AND all three phase
+    losses) tracks torch to ~1e-5; before it, the second C iteration read
+    a one-epoch-advanced cosine LR and diverged at 7.8e-4/step (the bug
+    this test originally misattributed to maxpool gate chaos)."""
     import torch
     import torch.nn as nn
 
@@ -662,17 +658,12 @@ def test_mcd_trajectory_parity(tmp_path):
     C2_0 = nn.Linear(FDIM, N_CLS).float()
     init_F = _convert_net(F0, 0)
     init_C1, init_C2 = conv_lin(C1_0), conv_lin(C2_0)
-    # Chaos control: the reference vs itself, perturbed by the measured
-    # step-0 gate-flip magnitude (7.8e-4, see docstring).  Both
-    # trajectories then diverge at the system's own Lyapunov rate
-    # (measured ~5x/step: a 2e-6 perturbation reaches 0.14 by step 7).
-    refp_out, _, _, _, _ = run_ref(perturb=8e-4)
-
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "C1", "C2"}
     ours.params = {"F": _to_jnp(init_F), "C1": _to_jnp(init_C1),
                    "C2": _to_jnp(init_C2)}
-    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "C1", "C2")}
+    ours.opt_state = {g: ours._tx_group.get(g, ours.tx).init(ours.params[g])
+                      for g in ("F", "C1", "C2")}
 
     our_out, our_snap = [], []
 
@@ -690,33 +681,17 @@ def test_mcd_trajectory_parity(tmp_path):
 
     _drive_ours(ours, stepper, record)
 
-    # Step 0: tight — the A -> B -> C x2 phase composition itself.
-    for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
-        assert abs(our_out[0][key] - ref_out[0][key]) < 1e-5 * (
-            1 + abs(ref_out[0][key])
-        ), f"{key} diverged at step 0: {our_out[0][key]} vs {ref_out[0][key]}"
-    _assert_close(our_snap[0]["conv0"],
-                  ref_snap[0]["F"]["backbone"]["conv0"]["w"], "F conv0", 0,
-                  atol=2e-3)  # 2nd C iteration gate flip, see docstring
-    _assert_close(our_snap[0]["C1_w"], ref_snap[0]["C1"]["w"], "C1 W", 0,
-                  atol=1e-6)  # C1/C2 last written in phase B, pre-flip
-    _assert_close(our_snap[0]["C2_w"], ref_snap[0]["C2"]["w"], "C2 W", 0,
-                  atol=1e-6)
-    # Steps >= 1: chaotic regime.  Calibrate against the reference's OWN
-    # divergence from a 2e-6-perturbed copy of itself: if torch-vs-torch
-    # separates just as fast, our separation is intrinsic sensitivity, not
-    # a composition bug.  A real bug (wrong wd, swapped phase order, stale
-    # weights) would blow past the reference's self-divergence envelope.
-    for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
-        for k in range(1, n_steps):
-            assert np.isfinite(our_out[k][key])
-        ours_div = max(abs(our_out[k][key] - ref_out[k][key])
-                       for k in range(1, n_steps))
-        self_div = max(abs(refp_out[k][key] - ref_out[k][key])
-                       for k in range(1, n_steps))
-        assert ours_div < 20.0 * max(1e-3, self_div), (
-            f"{key}: our divergence {ours_div:.4f} is not explained by the "
-            f"reference's own fp sensitivity {self_div:.4f}")
+    # Measured post-fix tightness (diag, 8 steps): weights <=1.3e-5,
+    # phase losses <=1.5e-4 — assert the whole trajectory.
+    for k in range(n_steps):
+        for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["C1_w"], ref_snap[k]["C1"]["w"], "C1 W", k)
+        _assert_close(our_snap[k]["C2_w"], ref_snap[k]["C2"]["w"], "C2 W", k)
 
 
 def test_crossgrad_trajectory_parity(tmp_path):
@@ -888,3 +863,234 @@ def test_entmin_trajectory_parity(tmp_path):
                       ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
                       ref_snap[k]["classifier"]["w"], "classifier W", k)
+
+
+def test_dael_trajectory_parity(tmp_path):
+    """da/dael.py: per-source-domain expert bank (stacked in ours, a
+    ModuleList in the reference), most-confident-expert pseudo-labels with
+    a confidence mask, cross-expert consistency on the strong view, ONE
+    joint F+E optimizer step.  Exercises the domain-blocked batch split,
+    the (B,K,C) expert einsum vs the reference's per-expert loop, and the
+    w_others weighting over the domains present in the batch."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.da.dael import DAEL as RefDAEL, Experts as RefExperts
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    cfg = _zoo_cfg(tmp_path, **{
+        "DATASET.TARGET_DOMAINS": ["d2"],
+        "DATALOADER.TRAIN_U.SAME_AS_X": False,
+        "DATALOADER.TRAIN_X.SAMPLER": "RandomDomainSampler",
+        "DATALOADER.TRAIN_X.N_DOMAIN": 2,
+        "TRAINER.DAEL.STRONG_TRANSFORMS": ("normalize",),
+        "TRAINER.DAEL.CONF_THRE": 0.3,  # random-init experts: exercise BOTH
+    })                                  # mask states, not an all-zero mask
+    cfg.TRAINER.NAME = "DAEL"
+    cfg.freeze()
+    K = len(cfg.DATASET.SOURCE_DOMAINS)
+    split = BX // 2
+
+    torch.manual_seed(29)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+    E_net = RefExperts(K, FDIM, N_CLS).float()
+    init_F = _convert_net(F_net, 0)
+
+    def conv_experts(E):
+        sd = {k: v.detach().numpy().copy() for k, v in E.state_dict().items()}
+        return {
+            "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :] for k in range(K)]),
+            "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
+        }
+
+    init_E = conv_experts(E_net)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(43)
+    bx_batches, bu_batches = [], []
+    for s in range(n_steps):
+        doms = rng.permutation(K)  # RandomDomainSampler: distinct domains
+        bx_batches.append((
+            rng.randn(BX, 32, 32, 3).astype(np.float32),
+            rng.randn(BX, 32, 32, 3).astype(np.float32),  # strong view
+            rng.randint(0, N_CLS, size=BX).astype(np.int64),
+            np.repeat(doms, split).astype(np.int64),
+        ))
+        bu_batches.append((
+            rng.randn(BU, 32, 32, 3).astype(np.float32),
+            rng.randn(BU, 32, 32, 3).astype(np.float32),
+        ))
+
+    shim = RefDAEL.__new__(RefDAEL)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.split_batch = split
+    shim.n_domain = 2
+    shim.weight_u = cfg.TRAINER.DAEL.WEIGHT_U
+    shim.conf_thre = cfg.TRAINER.DAEL.CONF_THRE
+    shim.num_source_domains = K
+    shim.num_classes = N_CLS
+    for name, mod in (("F", F_net), ("E", E_net)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        setattr(shim, name, mod)
+        shim.register_model(name, mod, opt, sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    def torch_x(imgs, imgs2, labels, domains):
+        b = _torch_batch(imgs, labels)
+        b["img2"] = torch.from_numpy(
+            np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
+        b["domain"] = torch.from_numpy(domains)
+        return b
+
+    def torch_u(imgs, imgs2):
+        labels = np.zeros(imgs.shape[0], np.int64)
+        return torch_x(imgs, imgs2, labels, labels)
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_x(*bx_batches[k]), torch_u(*bu_batches[k]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, 0),
+                             "E": conv_experts(E_net)})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"F", "E"}
+    assert ours.split_batch == split
+    ours.params = {"F": _to_jnp(init_F), "E": _to_jnp(init_E)}
+    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "E")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["F"]["backbone"]["conv0"]["w"]),
+            "E_w": np.asarray(ours.params["E"]["w"]),
+            "E_b": np.asarray(ours.params["E"]["b"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        imgs, imgs2, labels, domains = bx_batches[k]
+        bx = _our_batch(imgs, labels)
+        bx["img2"] = imgs2
+        bx["domain"] = domains.astype(np.int32)
+        uimgs, uimgs2 = bu_batches[k]
+        bu = _our_batch(uimgs, np.zeros(BU, np.int64))
+        bu["img2"] = uimgs2
+        return bx, bu
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_x", "loss_cr", "loss_u", "acc_x"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["E_w"], ref_snap[k]["E"]["w"], "experts W", k)
+        _assert_close(our_snap[k]["E_b"], ref_snap[k]["E"]["b"], "experts b", k)
+
+
+def test_mme_trajectory_parity(tmp_path):
+    """da/mme.py: cosine-prototype classifier (L2-normalized features /
+    temp 0.05), TWO sequential joint updates per iteration — supervised CE,
+    then target entropy MAXIMIZED w.r.t. prototypes and MINIMIZED w.r.t.
+    features through the gradient-reversal layer.  Feature-net and
+    prototype trajectories must match step-for-step."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.da.mme import MME as RefMME, Prototypes
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.modeling.ops import ReverseGrad
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False})
+    cfg.TRAINER.NAME = "MME"
+    cfg.freeze()
+
+    torch.manual_seed(37)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+    C_net = Prototypes(FDIM, N_CLS).float()
+    init_F = _convert_net(F_net, 0)
+
+    def conv_proto(C):
+        return {"w": C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
+
+    init_C = conv_proto(C_net)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=51)
+    bu_batches = _batches(n_steps, BU, seed=52)
+
+    shim = RefMME.__new__(RefMME)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.lmda = cfg.TRAINER.MME.LMDA
+    for name, mod in (("F", F_net), ("C", C_net)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        setattr(shim, name, mod)
+        shim.register_model(name, mod, opt, sched)
+    shim.revgrad = ReverseGrad()
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, 0),
+                             "C": conv_proto(C_net)})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"net", "C"}
+    ours.params = {"net": _to_jnp(init_F), "C": _to_jnp(init_C)}
+    ours.opt_state = {g: ours._tx_group.get(g, ours.tx).init(ours.params[g])
+                      for g in ("net", "C")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "C_w": np.asarray(ours.params["C"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        return _our_batch(*bx_batches[k]), _our_batch(*bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_x", "loss_u", "acc_x"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["C_w"], ref_snap[k]["C"]["w"],
+                      "prototypes W", k)
