@@ -517,8 +517,11 @@ class M3SDA(NetTrainerXU):
                         dist, count = dist + euclidean(xs[i], xs[j]), count + 1
                 return dist / count
 
+            # ddof=1: torch Tensor.var defaults to the unbiased estimator
+            # (da/m3sda.py moment_distance uses xi.var(0))
             d1 = pairwise([f.mean(0) for f in feats], feat_u.mean(0))
-            d2 = pairwise([f.var(0) for f in feats], feat_u.var(0))
+            d2 = pairwise([f.var(0, ddof=1) for f in feats],
+                          feat_u.var(0, ddof=1))
             return (d1 + d2) / 2.0
 
         def chunks(x):
