@@ -169,10 +169,13 @@ class ADDA(NetTrainerXU):
             def model_loss(pn):
                 (_, fu), ns_n = net.apply(
                     pn, state["net"], bu["img"], train=True, return_feature=True)
-                lu, _ = critic_apply(new_critic, ns_c, fu, True)
-                return bce_logits(lu, jnp.ones_like(lu), bu.get("valid")), ns_n
+                # the reference's third critic forward (adda.py:74) runs in
+                # train mode too: its BN batch-stat pass also advances the
+                # critic's running statistics — keep that state update
+                lu, ns_c2 = critic_apply(new_critic, ns_c, fu, True)
+                return bce_logits(lu, jnp.ones_like(lu), bu.get("valid")), (ns_n, ns_c2)
 
-            (loss_model, _), gn = jax.value_and_grad(
+            (loss_model, (_, ns_c)), gn = jax.value_and_grad(
                 model_loss, has_aux=True)(params["net"])
             new_net, os_n = self.group_update(gn, opt_state["net"], params["net"])
             # classifier is closed (reference open_specified_layers: only

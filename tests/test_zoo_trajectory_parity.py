@@ -1389,3 +1389,337 @@ def test_m3sda_trajectory_parity(tmp_path):
         assert ours_div < 2.0 * max(1e-3, self_div), (
             f"{key}: our divergence {ours_div:.4f} exceeds the reference's "
             f"own fp sensitivity envelope {self_div:.4f}")
+
+
+def test_adda_trajectory_parity(tmp_path):
+    """da/adda.py: frozen eval-mode source encoder feeds the critic real
+    features, the target encoder starts at the source weights
+    (MODEL.INIT_WEIGHTS) and is trained to fool the critic — critic BCE
+    update first, then the model update through the JUST-updated critic,
+    with the classifier layer frozen (open_specified_layers keeps only the
+    backbone open).  The critic's BN running stats see THREE train-mode
+    forwards per iteration (x, detached u, u again for the model loss);
+    net, critic, and critic-BN-state trajectories must all track."""
+    import copy
+    import pickle
+
+    import torch
+    import torch.nn as nn
+
+    import_reference_trainers()
+    from dassl.engine.da.adda import ADDA as RefADDA
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.modeling import build_head
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    torch.manual_seed(83)
+    cfg_seed = _zoo_cfg(tmp_path)  # only to build the torch net
+    model = RefSimpleNet(cfg_seed, cfg_seed.MODEL, N_CLS).float()
+    init_net = _convert_net(model, N_CLS)
+
+    # source checkpoint = the shared init (reference loads INIT_WEIGHTS
+    # into self.model and deepcopies it as the frozen source)
+    ckpt_path = tmp_path / "source.pkl"
+    with open(ckpt_path, "wb") as f:
+        pickle.dump({"state_dict": {"net": init_net}, "epoch": 0}, f)
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False,
+                                "MODEL.INIT_WEIGHTS": str(ckpt_path)})
+    cfg.TRAINER.NAME = "ADDA"
+    cfg.freeze()
+
+    torch.manual_seed(89)
+    critic_body = build_head(
+        "mlp", verbose=False, in_features=FDIM,
+        hidden_layers=[FDIM, FDIM // 2], activation="leaky_relu",
+    )
+    critic = nn.Sequential(critic_body, nn.Linear(FDIM // 2, 1)).float()
+    init_critic, init_critic_state = _convert_critic(critic)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=91)
+    bu_batches = _batches(n_steps, BU, seed=92)
+
+    shim = RefADDA.__new__(RefADDA)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.model = model
+    shim.open_layers = ["backbone"]
+    shim.source_model = copy.deepcopy(model)
+    shim.source_model.eval()
+    for p in shim.source_model.parameters():
+        p.requires_grad_(False)
+    shim.critic = critic
+    shim.bce = nn.BCEWithLogitsLoss()
+    for name, mod in (("model", model), ("critic", critic)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        shim.register_model(name, mod, opt, sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+            ref_out.append(out)
+            cp, cs = _convert_critic(critic)
+            ref_snap.append({"net": _convert_net(model, N_CLS),
+                             "critic": cp, "cstate": cs})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"net", "critic"}
+    # net + frozen source already carry init_net via MODEL.INIT_WEIGHTS
+    np.testing.assert_array_equal(
+        np.asarray(ours.extra["source"]["backbone"]["conv0"]["w"]),
+        init_net["backbone"]["conv0"]["w"])
+    ours.params = {"net": _to_jnp(init_net), "critic": _to_jnp(init_critic)}
+    ours.model_state = {"net": ours.model_state["net"],
+                        "critic": _to_jnp(init_critic_state)}
+    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("net", "critic")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+            "c_fc0": np.asarray(ours.params["critic"]["fc0"]["w"]),
+            "c_out": np.asarray(ours.params["critic"]["out"]["w"]),
+            "c_bn0_mean": np.asarray(ours.model_state["critic"]["bn0"]["mean"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        return _our_batch(*bx_batches[k]), _our_batch(*bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_critic", "loss_model"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["net"]["backbone"]["conv0"]["w"], "conv0", k)
+        # classifier stays at the source weights on both sides
+        np.testing.assert_array_equal(our_snap[k]["cls_w"],
+                                      init_net["classifier"]["w"])
+        _assert_close(our_snap[k]["cls_w"],
+                      ref_snap[k]["net"]["classifier"]["w"], "classifier W", k)
+        _assert_close(our_snap[k]["c_fc0"],
+                      ref_snap[k]["critic"]["fc0"]["w"], "critic fc0 W", k)
+        _assert_close(our_snap[k]["c_out"],
+                      ref_snap[k]["critic"]["out"]["w"], "critic out W", k)
+        _assert_close(our_snap[k]["c_bn0_mean"],
+                      ref_snap[k]["cstate"]["bn0"]["mean"],
+                      "critic bn0 running mean", k)
+
+
+def test_cdac_trajectory_parity(tmp_path):
+    """da/cdac.py: adversarial adaptive clustering — supervised update,
+    then one joint update on AAC (pairwise-similarity BCE through
+    gradient-reversed temp-0.05 prototypes) + confidence-masked pseudo-
+    label CE on the second strong view + exponentially-ramped MSE
+    consistency; the custom (1 + 10 t/T)^-0.75 LambdaLR anneals once per
+    ITERATION (update_lr every batch, cdac.py:225) with the prototype
+    head's base LR scaled by CLASS_LR_MULTI.
+
+    Tolerance structure: the AAC VALUE is mathematically ill-conditioned —
+    P = prob_u @ prob_us.T saturates to exactly 1.0 in fp32 for confident
+    same-cluster pairs, and log(1 - P + 1e-7) then sits on a +/-5.3 plateau
+    edge decided by the last rounding bit (measured: the reference's own
+    step-1 aac is EXACTLY invariant under 2e-5 weight perturbations —
+    a clipped plateau — while ours lands 0.15 away from a different
+    rounding of the same saturated products).  The aac GRADIENT stays
+    bounded (the softmax p(1-p) factor cancels the 1/(1-P) pole), so the
+    weight trajectories are asserted tight throughout, the well-
+    conditioned channels (loss_x, pl, cons) tight for the first epoch and
+    inside the reference's own measured 2e-5-perturbation envelope after,
+    and aac only within the plateau band."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.da.cdac import AAC, CDAC as RefCDAC, Prototypes
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.optim import build_optimizer
+    from functools import partial
+    from torch.optim.lr_scheduler import LambdaLR
+    from dassl.engine.da.cdac import custom_scheduler
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False,
+                                "DATALOADER.K_TRANSFORMS": 2,
+                                "TRAINER.CDAC.STRONG_TRANSFORMS": ("normalize",),
+                                "TRAINER.CDAC.RAMPUP_ITRS": 4,
+                                "TRAINER.CDAC.P_THRESH": 0.5})
+    cfg.TRAINER.NAME = "CDAC"
+    cfg.freeze()
+
+    torch.manual_seed(101)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+    C_net = Prototypes(FDIM, N_CLS).float()
+    init_F = _convert_net(F_net, 0)
+
+    def conv_proto(C):
+        return {"w": C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
+
+    init_C = conv_proto(C_net)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(103)
+
+    def multi_view(bsz):
+        return tuple(rng.randn(bsz, 32, 32, 3).astype(np.float32)
+                     for _ in range(3)) + (
+            rng.randint(0, N_CLS, size=bsz).astype(np.int64),)
+
+    bx_batches = [multi_view(BX) for _ in range(n_steps)]
+    bu_batches = [multi_view(BU) for _ in range(n_steps)]
+
+    shim = None  # built below via make_shim
+
+    def torch_views(v0, vs, vs2, labels):
+        b = _torch_batch(v0, labels)
+
+        def t(a):
+            return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+        b["img"] = [b["img"], t(v0)]
+        b["img2"] = [t(vs), t(vs2)]
+        return b
+
+    def make_shim(fnet, cnet):
+        sh = RefCDAC.__new__(RefCDAC)
+        TrainerBase.__init__(sh)
+        sh.cfg = cfg
+        sh.device = torch.device("cpu")
+        sh.rampup_coef = cfg.TRAINER.CDAC.RAMPUP_COEF
+        sh.rampup_iters = cfg.TRAINER.CDAC.RAMPUP_ITRS
+        sh.lr_multi = cfg.TRAINER.CDAC.CLASS_LR_MULTI
+        sh.topk = cfg.TRAINER.CDAC.TOPK_MATCH
+        sh.p_thresh = cfg.TRAINER.CDAC.P_THRESH
+        sh.aac_criterion = AAC()
+        sh.num_batches = STEPS_PER_EPOCH
+        sh.max_epoch = N_EPOCHS
+        sh.max_iter = N_EPOCHS * STEPS_PER_EPOCH
+        oF = build_optimizer(fnet, cfg.OPTIM)
+        sF = LambdaLR(oF, partial(
+            custom_scheduler, max_iter=sh.max_iter, init_lr=cfg.OPTIM.LR))
+        sh.F = fnet
+        sh.register_model("F", fnet, oF, sF)
+        oC = build_optimizer(cnet, cfg.OPTIM)
+        for gp in oC.param_groups:
+            gp["lr"] *= sh.lr_multi
+        sC = LambdaLR(oC, partial(
+            custom_scheduler, max_iter=sh.max_iter,
+            init_lr=cfg.OPTIM.LR * sh.lr_multi))
+        sh.C = cnet
+        sh.register_model("C", cnet, oC, sC)
+        sh.epoch = 0
+        return sh
+
+    def drive_ref(sh):
+        outs = []
+        for ep in range(N_EPOCHS):
+            sh.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                sh.batch_idx = bi
+                k = ep * STEPS_PER_EPOCH + bi
+                outs.append(sh.forward_backward(
+                    torch_views(*bx_batches[k]), torch_views(*bu_batches[k])))
+        return outs
+
+    shim = make_shim(F_net, C_net)
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_views(*bx_batches[k]), torch_views(*bu_batches[k]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, 0),
+                             "C": conv_proto(C_net)})
+
+    # chaos control: the reference vs a randomly 2e-5-perturbed copy
+    torch.manual_seed(101)
+    Fp = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+    Cp = Prototypes(FDIM, N_CLS).float()
+    with torch.no_grad():
+        for p in Fp.parameters():
+            p.add_(torch.randn_like(p) * 2e-5)
+    refp_out = drive_ref(make_shim(Fp, Cp))
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"F", "C"}
+    ours.params = {"F": _to_jnp(init_F), "C": _to_jnp(init_C)}
+    ours.opt_state = {"F": ours.tx_F.init(ours.params["F"]),
+                      "C": ours.tx_C.init(ours.params["C"])}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["F"]["backbone"]["conv0"]["w"]),
+            "C_w": np.asarray(ours.params["C"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+
+        def pack(views):
+            v0, vs, vs2, labels = views
+            b = _our_batch(v0, labels)
+            b["img"] = np.stack([v0, v0], axis=1)
+            b["img2"] = np.stack([vs, vs2], axis=1)
+            return b
+
+        return pack(bx_batches[k]), pack(bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    # the confidence gate must actually be mixed at this threshold
+    keeps = [ref_out[k]["p_u_pred_keep"] for k in range(n_steps)]
+    assert any(0.0 < float(kp) for kp in keeps)
+
+    # Weights: tight throughout (measured drift <=2e-5 conv / 2.2e-4
+    # prototypes over 8 steps, same scale as the reference's own
+    # 2e-5-perturbation drift).
+    for k in range(n_steps):
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k,
+                      atol=1e-4)
+        _assert_close(our_snap[k]["C_w"], ref_snap[k]["C"]["w"],
+                      "prototypes W", k, atol=8e-4)
+    # Step 0 (shared init): ALL channels tight, incl. aac.
+    for key in ("loss_x", "loss_u", "aac_loss", "pl_loss", "cons_loss"):
+        assert abs(our_out[0][key] - ref_out[0][key]) < 1e-4 * (
+            1 + abs(ref_out[0][key])
+        ), f"{key} diverged at step 0: {our_out[0][key]} vs {ref_out[0][key]}"
+    # Well-conditioned channels: within the reference's own measured
+    # perturbation envelope (see docstring).
+    for key in ("loss_x", "pl_loss", "cons_loss"):
+        ours_div = max(abs(our_out[k][key] - ref_out[k][key])
+                       for k in range(1, n_steps))
+        self_div = max(abs(float(refp_out[k][key]) - float(ref_out[k][key]))
+                       for k in range(1, n_steps))
+        assert ours_div < 3.0 * max(1e-3, self_div), (
+            f"{key}: our divergence {ours_div:.5f} exceeds the reference's "
+            f"own fp sensitivity envelope {self_div:.5f}")
+    # aac: only the saturation-plateau band (one flipped log(1-P) element
+    # contributes 5.3/64 ~ 0.08; allow a handful).
+    for k in range(1, n_steps):
+        assert abs(our_out[k]["aac_loss"] - ref_out[k]["aac_loss"]) < 0.5, (
+            f"aac_loss diverged beyond the saturation band at step {k}: "
+            f"{our_out[k]['aac_loss']} vs {ref_out[k]['aac_loss']}")
