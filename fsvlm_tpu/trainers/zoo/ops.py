@@ -34,12 +34,16 @@ def create_onehot(labels, num_classes):
 
 
 def mixup_pair(rng, x1, x2, y1, y2, beta, preserve_order=True):
-    """dassl ops/mixup.py: one global lam ~ Beta(beta, beta) per call."""
-    lam = jax.random.beta(rng, beta, beta)
+    """dassl ops/mixup.py: PER-SAMPLE lam ~ Beta(beta, beta) — the
+    reference samples shape (B, 1, 1, 1), one mixing weight per row."""
+    b = x1.shape[0]
+    lam = jax.random.beta(rng, beta, beta, shape=(b,))
     if preserve_order:
         lam = jnp.maximum(lam, 1.0 - lam)
-    x = lam * x1 + (1.0 - lam) * x2
-    y = lam * y1 + (1.0 - lam) * y2
+    lam_x = lam.reshape((b,) + (1,) * (x1.ndim - 1))
+    lam_y = lam.reshape((b,) + (1,) * (y1.ndim - 1))
+    x = lam_x * x1 + (1.0 - lam_x) * x2
+    y = lam_y * y1 + (1.0 - lam_y) * y2
     return x, y
 
 

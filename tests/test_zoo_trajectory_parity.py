@@ -1723,3 +1723,261 @@ def test_cdac_trajectory_parity(tmp_path):
         assert abs(our_out[k]["aac_loss"] - ref_out[k]["aac_loss"]) < 0.5, (
             f"aac_loss diverged beyond the saturation band at step {k}: "
             f"{our_out[k]['aac_loss']} vs {ref_out[k]['aac_loss']}")
+
+
+def test_ddaig_trajectory_parity(tmp_path):
+    """dg/ddaig.py: THREE models per iteration — the FCN perturbation
+    generator G updates on CE_F(x_p) - CE_D(x_p), the label net F on clean
+    CE blended with the re-perturbed x_p after WARMUP, and the domain net
+    D on clean CE — three sequential optimizer steps, with x_p regenerated
+    from the JUST-updated G under no_grad.  Exercises the reflection-pad /
+    instance-norm / gctx-fusion FCN generator (ddaig_fcn.py:163-287)
+    against the torch original, plus the warmup branch switch at epoch 1."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.dg.ddaig import DDAIG as RefDDAIG
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.modeling import build_network
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    cfg = _zoo_cfg(tmp_path, **{"TRAINER.DDAIG.G_ARCH": "fcn_3x32_gctx",
+                                "TRAINER.DDAIG.WARMUP": 1,
+                                "TRAINER.DDAIG.CLAMP": True})
+    cfg.TRAINER.NAME = "DDAIG"
+    cfg.freeze()
+    n_domains = len(cfg.DATASET.SOURCE_DOMAINS)
+
+    torch.manual_seed(111)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
+    D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
+    G_net = build_network("fcn_3x32_gctx", verbose=False).float()
+    init_F = _convert_net(F_net, N_CLS)
+    init_D = _convert_net(D_net, n_domains)
+
+    def conv_fcn(G, n_blocks=3):
+        """torch FCN (Sequential indices: backbone 1=stem conv, 4+i =
+        ResnetBlock(conv_block 1,5), gctx_fusion.0, regress.0) -> our
+        param dict; instance norm is affine-free so convs are the only
+        weights."""
+        sd = {k: v.detach().numpy().copy() for k, v in G.state_dict().items()}
+
+        def cw(key):
+            return sd[key].transpose(2, 3, 1, 0).copy()
+
+        p = {"stem": {"w": cw("backbone.1.weight")}}
+        for i in range(n_blocks):
+            p[f"res{i}a"] = {"w": cw(f"backbone.{4 + i}.conv_block.1.weight")}
+            p[f"res{i}b"] = {"w": cw(f"backbone.{4 + i}.conv_block.5.weight")}
+        p["fuse"] = {"w": cw("gctx_fusion.0.weight")}
+        p["regress"] = {"w": cw("regress.0.weight"), "b": sd["regress.0.bias"]}
+        return p
+
+    init_G = conv_fcn(G_net)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(113)
+    batches = [
+        (
+            rng.randn(BX, 32, 32, 3).astype(np.float32),
+            rng.randint(0, N_CLS, size=BX).astype(np.int64),
+            rng.randint(0, n_domains, size=BX).astype(np.int64),
+        )
+        for _ in range(n_steps)
+    ]
+
+    shim = RefDDAIG.__new__(RefDDAIG)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.lmda = cfg.TRAINER.DDAIG.LMDA
+    shim.clamp = cfg.TRAINER.DDAIG.CLAMP
+    shim.clamp_min = cfg.TRAINER.DDAIG.CLAMP_MIN
+    shim.clamp_max = cfg.TRAINER.DDAIG.CLAMP_MAX
+    shim.warmup = cfg.TRAINER.DDAIG.WARMUP
+    shim.alpha = cfg.TRAINER.DDAIG.ALPHA
+    for name, mod in (("F", F_net), ("D", D_net), ("G", G_net)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        setattr(shim, name, mod)
+        shim.register_model(name, mod, opt, sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    def torch_batch(imgs, labels, domains):
+        b = _torch_batch(imgs, labels)
+        b["domain"] = torch.from_numpy(domains)
+        return b
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, N_CLS),
+                             "D": _convert_net(D_net, n_domains),
+                             "G": conv_fcn(G_net)})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"F", "D", "G"}
+    ours.params = {"F": _to_jnp(init_F), "D": _to_jnp(init_D),
+                   "G": _to_jnp(init_G)}
+    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "D", "G")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "F_conv0": np.asarray(ours.params["F"]["backbone"]["conv0"]["w"]),
+            "D_conv0": np.asarray(ours.params["D"]["backbone"]["conv0"]["w"]),
+            "G_stem": np.asarray(ours.params["G"]["stem"]["w"]),
+            "G_regress": np.asarray(ours.params["G"]["regress"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        imgs, labels, domains = batches[ep * STEPS_PER_EPOCH + bi]
+        b = _our_batch(imgs, labels)
+        b["domain"] = domains.astype(np.int32)
+        return b, None
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_g", "loss_f", "loss_d"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["F_conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["D_conv0"],
+                      ref_snap[k]["D"]["backbone"]["conv0"]["w"], "D conv0", k)
+        _assert_close(our_snap[k]["G_stem"],
+                      ref_snap[k]["G"]["stem"]["w"], "G stem W", k)
+        _assert_close(our_snap[k]["G_regress"],
+                      ref_snap[k]["G"]["regress"]["w"], "G regress W", k)
+
+
+def test_daeldg_trajectory_parity(tmp_path):
+    """dg/daeldg.py: the DG variant of DAEL — labeled source only, soft
+    one-hot CE per domain expert plus squared-error consistency between
+    each expert's prediction and the mean of the OTHER batch experts on
+    the strong view, ONE joint F+E update.  The stacked expert bank must
+    track the reference's ModuleList step-for-step."""
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.dg.daeldg import DAELDG as RefDAELDG, Experts as RefExperts
+    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    cfg = _zoo_cfg(tmp_path, **{
+        "DATALOADER.TRAIN_X.SAMPLER": "RandomDomainSampler",
+        "DATALOADER.TRAIN_X.N_DOMAIN": 2,
+        "TRAINER.DAELDG.STRONG_TRANSFORMS": ("normalize",),
+    })
+    cfg.TRAINER.NAME = "DAELDG"
+    cfg.freeze()
+    K = len(cfg.DATASET.SOURCE_DOMAINS)
+    split = BX // 2
+
+    torch.manual_seed(121)
+    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+    E_net = RefExperts(K, FDIM, N_CLS).float()
+    init_F = _convert_net(F_net, 0)
+
+    def conv_experts(E):
+        sd = {k: v.detach().numpy().copy() for k, v in E.state_dict().items()}
+        return {
+            "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :] for k in range(K)]),
+            "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
+        }
+
+    init_E = conv_experts(E_net)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(123)
+    batches = []
+    for s in range(n_steps):
+        doms = rng.permutation(K)
+        batches.append((
+            rng.randn(BX, 32, 32, 3).astype(np.float32),
+            rng.randn(BX, 32, 32, 3).astype(np.float32),  # strong view
+            rng.randint(0, N_CLS, size=BX).astype(np.int64),
+            np.repeat(doms, split).astype(np.int64),
+        ))
+
+    shim = RefDAELDG.__new__(RefDAELDG)
+    TrainerBase.__init__(shim)
+    shim.cfg = cfg
+    shim.device = torch.device("cpu")
+    shim.split_batch = split
+    shim.n_domain = 2
+    shim.conf_thre = cfg.TRAINER.DAELDG.CONF_THRE
+    shim.num_source_domains = K
+    shim.num_classes = N_CLS
+    for name, mod in (("F", F_net), ("E", E_net)):
+        opt = build_optimizer(mod, cfg.OPTIM)
+        sched = build_lr_scheduler(opt, cfg.OPTIM)
+        setattr(shim, name, mod)
+        shim.register_model(name, mod, opt, sched)
+    shim.num_batches = STEPS_PER_EPOCH
+    shim.max_epoch = N_EPOCHS
+    shim.epoch = 0
+
+    def torch_batch(imgs, imgs2, labels, domains):
+        b = _torch_batch(imgs, labels)
+        b["img2"] = torch.from_numpy(
+            np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
+        b["domain"] = torch.from_numpy(domains)
+        return b
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+            ref_out.append(out)
+            ref_snap.append({"F": _convert_net(F_net, 0),
+                             "E": conv_experts(E_net)})
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"F", "E"}
+    assert ours.split_batch == split
+    ours.params = {"F": _to_jnp(init_F), "E": _to_jnp(init_E)}
+    ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "E")}
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["F"]["backbone"]["conv0"]["w"]),
+            "E_w": np.asarray(ours.params["E"]["w"]),
+            "E_b": np.asarray(ours.params["E"]["b"]),
+        })
+
+    def stepper(ep, bi):
+        imgs, imgs2, labels, domains = batches[ep * STEPS_PER_EPOCH + bi]
+        b = _our_batch(imgs, labels)
+        b["img2"] = imgs2
+        b["domain"] = domains.astype(np.int32)
+        return b, None
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_x", "loss_cr", "acc"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+        _assert_close(our_snap[k]["E_w"], ref_snap[k]["E"]["w"], "experts W", k)
+        _assert_close(our_snap[k]["E_b"], ref_snap[k]["E"]["b"], "experts b", k)
