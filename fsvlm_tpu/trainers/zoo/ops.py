@@ -24,8 +24,9 @@ def linear_rampup(current, rampup_length):
 
 
 def sharpen_prob(p, temperature):
-    """p^(1/T) renormalized (dassl utils.py::sharpen_prob)."""
-    sharp = p ** (1.0 / temperature)
+    """p**T renormalized (dassl utils.py:5-13 uses the config value as the
+    EXPONENT, p.pow(temperature) — the paper's p^(1/T) with T=1/temp)."""
+    sharp = p ** temperature
     return sharp / sharp.sum(-1, keepdims=True)
 
 

@@ -1981,3 +1981,250 @@ def test_daeldg_trajectory_parity(tmp_path):
                       ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
         _assert_close(our_snap[k]["E_w"], ref_snap[k]["E"]["w"], "experts W", k)
         _assert_close(our_snap[k]["E_b"], ref_snap[k]["E"]["b"], "experts b", k)
+
+
+def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
+    """ssl/mixmatch.py: the STOCHASTIC trainer — sharpened K-view pseudo
+    labels (p**TEMP, utils.py:5-13), a global randperm shuffle of the
+    cat(x,u) pool, and per-sample Beta mixup of x and u against the
+    shuffled pool.  Our jitted step runs untouched with its jax.random
+    key; the torch side gets the SAME draws injected (shuffle_index and
+    mixup replaced by versions consuming our precomputed perm / lambda
+    streams), so the deterministic remainder (pseudo-labels, rampup,
+    losses, SGD) must then match step-for-step."""
+    import jax
+    import torch
+
+    import_reference_trainers()
+    import dassl.engine.ssl.mixmatch as ref_mod
+    from dassl.engine.ssl.mixmatch import MixMatch as RefMixMatch
+
+    K = 2
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False,
+                                "DATALOADER.K_TRANSFORMS": K})
+    cfg.TRAINER.NAME = "MixMatch"
+    cfg.TRAINER.MIXMATCH.RAMPUP = 5  # ramps inside the 8-step run
+    cfg.freeze()
+    beta = cfg.TRAINER.MIXMATCH.MIXUP_BETA
+
+    model = _ref_simplenet(cfg, N_CLS)
+    init_params = _convert_net(model, N_CLS)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(131)
+    # K views per batch; labeled view 0 is the only x view either side uses
+    bx_views = [rng.randn(BX, K, 32, 32, 3).astype(np.float32)
+                for _ in range(n_steps)]
+    bx_labels = [rng.randint(0, N_CLS, size=BX).astype(np.int64)
+                 for _ in range(n_steps)]
+    bu_views = [rng.randn(BU, K, 32, 32, 3).astype(np.float32)
+                for _ in range(n_steps)]
+
+    # precompute the exact jax.random draws our step_core makes
+    # (ssl.py:197-205: split(rng, 3) -> permutation, beta(BX), beta(K*BU))
+    perm_q, lam_q = [], []
+    for s in range(n_steps):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), s)
+        k_perm, k_mix1, k_mix2 = jax.random.split(key, 3)
+        perm_q.append(np.asarray(
+            jax.random.permutation(k_perm, BX + K * BU)))
+        lam_q.append(np.asarray(
+            jax.random.beta(k_mix1, beta, beta, shape=(BX,)), np.float64))
+        lam_q.append(np.asarray(
+            jax.random.beta(k_mix2, beta, beta, shape=(K * BU,)), np.float64))
+    perm_iter, lam_iter = iter(perm_q), iter(lam_q)
+
+    def patched_shuffle(data, label):
+        idx = torch.from_numpy(np.asarray(next(perm_iter)).copy()).long()
+        return data[idx], label[idx]
+
+    def patched_mixup(x1, x2, y1, y2, b, preserve_order=False):
+        lam = torch.from_numpy(next(lam_iter).copy()).float()
+        lam = lam.reshape(-1, 1, 1, 1)
+        if preserve_order:
+            lam = torch.max(lam, 1 - lam)
+        xmix = x1 * lam + x2 * (1 - lam)
+        lam2 = lam[:, :, 0, 0]
+        ymix = y1 * lam2 + y2 * (1 - lam2)
+        return xmix, ymix
+
+    monkeypatch.setattr(ref_mod, "shuffle_index", patched_shuffle)
+    monkeypatch.setattr(ref_mod, "mixup", patched_mixup)
+
+    shim = _base_shim(RefMixMatch, cfg, model)
+    shim.weight_u = cfg.TRAINER.MIXMATCH.WEIGHT_U
+    shim.temp = cfg.TRAINER.MIXMATCH.TEMP
+    shim.beta = beta
+    shim.rampup = cfg.TRAINER.MIXMATCH.RAMPUP
+    shim.num_classes = N_CLS
+
+    def torch_batch_views(views, labels=None):
+        imgs = [torch.from_numpy(np.ascontiguousarray(
+            views[:, k].transpose(0, 3, 1, 2))) for k in range(K)]
+        b = {"img": imgs}
+        if labels is not None:
+            b["label"] = torch.from_numpy(labels)
+        return b
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_batch_views(bx_views[k], bx_labels[k]),
+                torch_batch_views(bu_views[k]))
+            ref_out.append(out)
+            ref_snap.append(_convert_net(model, N_CLS))
+
+    ours = _build_our_trainer(cfg)
+    ours.params = {"net": _to_jnp(init_params)}
+    ours.opt_state = ours.tx.init(ours.params)
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        bx = _our_batch(bx_views[k][:, 0], bx_labels[k])
+        bx["img"] = bx_views[k]
+        bu = _our_batch(bu_views[k][:, 0],
+                        np.zeros(BU, np.int64))
+        bu["img"] = bu_views[k]
+        return bx, bu
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss_x", "loss_u"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+        _assert_close(our_snap[k]["cls_w"],
+                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+
+
+@pytest.mark.parametrize("mix_type", ["crossdomain", "random"])
+def test_domainmix_trajectory_parity(tmp_path, mix_type):
+    """dg/domain_mix.py: one global Beta lambda + a partner permutation
+    (cross-domain partners or a uniform shuffle), mixed CE on both label
+    sets.  Our jitted step runs untouched; the torch side's domain_mix is
+    replaced by the reference's own mixing arithmetic fed our precomputed
+    lambda/perm draws, so the mixed forward, twin CE, SGD, and staircase
+    must compose identically.  (Perm DISTRIBUTIONS differ by design in
+    crossdomain mode: the reference samples other-domain partners without
+    replacement when cnt_a <= cnt_b, ours per-row with replacement —
+    per-row marginals identical, joint differs; documented in PARITY.md.)"""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import_reference_trainers()
+    from dassl.engine.dg.domain_mix import DomainMix as RefDomainMix
+
+    cfg = _zoo_cfg(tmp_path, **{"TRAINER.DOMAINMIX.TYPE": mix_type})
+    cfg.TRAINER.NAME = "DomainMix"
+    cfg.freeze()
+    alpha, beta_p = cfg.TRAINER.DOMAINMIX.ALPHA, cfg.TRAINER.DOMAINMIX.BETA
+
+    model = _ref_simplenet(cfg, N_CLS)
+    init_params = _convert_net(model, N_CLS)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    rng = np.random.RandomState(141)
+    batches = [
+        (
+            rng.randn(BX, 32, 32, 3).astype(np.float32),
+            rng.randint(0, N_CLS, size=BX).astype(np.int64),
+            rng.randint(0, 2, size=BX).astype(np.int64),
+        )
+        for _ in range(n_steps)
+    ]
+
+    # replicate step_core's draws (dg.py: split(rng) -> beta scalar,
+    # then categorical over other-domain partners / global randperm)
+    lam_q, perm_q = [], []
+    for s in range(n_steps):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), s)
+        k_lam, k_perm = jax.random.split(key)
+        lam_q.append(float(jax.random.beta(k_lam, alpha, beta_p)))
+        d = jnp.asarray(batches[s][2])
+        if mix_type == "crossdomain":
+            other = (d[None, :] != d[:, None]).astype(jnp.float32)
+            has_other = other.sum(1, keepdims=True) > 0
+            w = jnp.where(has_other, other, jnp.ones_like(other))
+            perm = jax.random.categorical(k_perm, jnp.log(w + 1e-9), axis=1)
+        else:
+            perm = jax.random.permutation(k_perm, BX)
+        perm_q.append(np.asarray(perm))
+
+    shim = _base_shim(RefDomainMix, cfg, model)
+    shim.mix_type = mix_type
+    shim.alpha = alpha
+    shim.beta = beta_p
+    draws = iter(zip(lam_q, perm_q))
+
+    def injected_domain_mix(x, target, domain):
+        lam_v, perm_v = next(draws)
+        lam = torch.tensor(lam_v, dtype=torch.float32)
+        perm = torch.from_numpy(perm_v.copy()).long()
+        mixed_x = lam * x + (1 - lam) * x[perm, :]
+        return mixed_x, target, target[perm], lam
+
+    shim.domain_mix = injected_domain_mix
+
+    def torch_batch(imgs, labels, domains):
+        b = _torch_batch(imgs, labels)
+        b["domain"] = torch.from_numpy(domains)
+        return b
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+            ref_out.append(out)
+            ref_snap.append(_convert_net(model, N_CLS))
+
+    ours = _build_our_trainer(cfg)
+    ours.params = {"net": _to_jnp(init_params)}
+    ours.opt_state = ours.tx.init(ours.params)
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        imgs, labels, domains = batches[ep * STEPS_PER_EPOCH + bi]
+        b = _our_batch(imgs, labels)
+        b["domain"] = domains.astype(np.int32)
+        return b, None
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss", "acc"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+        _assert_close(our_snap[k]["cls_w"],
+                      ref_snap[k]["classifier"]["w"], "classifier W", k)
