@@ -28,6 +28,7 @@ from .ops import (
     bce_logits,
     create_onehot,
     ema_update,
+    fwd_keys,
     grad_reverse,
     mlp_head_apply,
     mlp_head_init,
@@ -46,8 +47,10 @@ class SourceOnly(NetTrainerXU):
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            (k0,) = fwd_keys(rng, 1)
+
             def loss_fn(p):
-                logits, ns = net_apply(p, state, bx["img"], train=True)
+                logits, ns = net_apply(p, state, bx["img"], train=True, rng=k0)
                 loss = cross_entropy_logits(logits, bx["label"], bx.get("valid"))
                 return loss, (logits, ns)
 
@@ -88,13 +91,15 @@ class DANN(NetTrainerXU):
             progress = step.astype(jnp.float32) / total_steps
             lmda = 2.0 / (1.0 + jnp.exp(-10.0 * progress)) - 1.0
 
+            k0, k1 = fwd_keys(rng, 2)
+
             def loss_fn(p):
                 (logit_x, feat_x), ns_net = net.apply(
                     p["net"], state["net"], bx["img"], train=True,
-                    return_feature=True)
+                    return_feature=True, rng=k0)
                 (_, feat_u), ns_net = net.apply(
                     p["net"], ns_net, bu["img"], train=True,
-                    return_feature=True)
+                    return_feature=True, rng=k1)
                 loss_x = cross_entropy_logits(
                     logit_x, bx["label"], bx.get("valid"))
                 rx = grad_reverse(feat_x, lmda)
@@ -150,9 +155,10 @@ class ADDA(NetTrainerXU):
             (_, feat_x), _ = net.apply(
                 extra["source"], extra["source_state"], bx["img"],
                 train=False, return_feature=True)
+            k0, k1 = fwd_keys(rng, 2)
             (_, feat_u), ns_net = net.apply(
                 params["net"], state["net"], bu["img"], train=True,
-                return_feature=True)
+                return_feature=True, rng=k0)
 
             def critic_loss(pc):
                 lx, ns_c = critic_apply(pc, state["critic"], feat_x, True)
@@ -168,7 +174,8 @@ class ADDA(NetTrainerXU):
 
             def model_loss(pn):
                 (_, fu), ns_n = net.apply(
-                    pn, state["net"], bu["img"], train=True, return_feature=True)
+                    pn, state["net"], bu["img"], train=True,
+                    return_feature=True, rng=k1)
                 # the reference's third critic forward (adda.py:74) runs in
                 # train mode too: its BN batch-stat pass also advances the
                 # critic's running statistics — keep that state update
@@ -230,7 +237,8 @@ class AdaBN(NetTrainerXU):
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
-            _, ns = net_apply(params, state, bu["img"], train=True)
+            (k0,) = fwd_keys(rng, 1)
+            _, ns = net_apply(params, state, bu["img"], train=True, rng=k0)
             return params, opt_state, ns, extra, {"loss": jnp.float32(0.0)}
 
         self.step_core = step_core
@@ -259,18 +267,19 @@ class MCD(NetTrainerXU):
         self.model_state = {"F": self.model_state["net"]}
         net = self.net
 
-        def F_apply(p, s, x, train):
-            return net.apply(p, s, x, train=train)
+        def F_apply(p, s, x, train, rng=None):
+            return net.apply(p, s, x, train=train, rng=rng)
 
         def discrepancy(p1, p2):
             return jnp.abs(p1 - p2).mean()
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
             vx = bx.get("valid")
+            keys = fwd_keys(rng, 3 + n_step_F)
 
             # Step A: CE through F, C1, C2 jointly
             def loss_A(p):
-                f, ns = F_apply(p["F"], state["F"], bx["img"], True)
+                f, ns = F_apply(p["F"], state["F"], bx["img"], True, keys[0])
                 l1 = cross_entropy_logits(linear_apply(f, p["C1"]), bx["label"], vx)
                 l2 = cross_entropy_logits(linear_apply(f, p["C2"]), bx["label"], vx)
                 return l1 + l2, ns
@@ -285,9 +294,10 @@ class MCD(NetTrainerXU):
             # Step B: maximize discrepancy w.r.t. C1/C2 (F frozen, no-grad
             # forwards still update BN stats like the reference's train-mode
             # no_grad passes)
-            feat_x, ns_f = F_apply(new_p["F"], state["F"], bx["img"], True)
+            feat_x, ns_f = F_apply(new_p["F"], state["F"], bx["img"], True,
+                                   keys[1])
             feat_x = jax.lax.stop_gradient(feat_x)
-            feat_u, ns_f = F_apply(new_p["F"], ns_f, bu["img"], True)
+            feat_u, ns_f = F_apply(new_p["F"], ns_f, bu["img"], True, keys[2])
             feat_u = jax.lax.stop_gradient(feat_u)
             state = dict(state, F=ns_f)
 
@@ -308,9 +318,9 @@ class MCD(NetTrainerXU):
 
             # Step C: minimize discrepancy w.r.t. F, n_step_F times
             loss_c = jnp.float32(0.0)
-            for _ in range(n_step_F):
-                def loss_C(pf, st):
-                    f, ns = F_apply(pf, st, bu["img"], True)
+            for ci in range(n_step_F):
+                def loss_C(pf, st, _k=keys[3 + ci]):
+                    f, ns = F_apply(pf, st, bu["img"], True, _k)
                     p1 = jax.nn.softmax(linear_apply(f, new_p["C1"]).astype(jnp.float32), 1)
                     p2 = jax.nn.softmax(linear_apply(f, new_p["C2"]).astype(jnp.float32), 1)
                     return discrepancy(p1, p2), ns
@@ -353,8 +363,11 @@ class MME(NetTrainerXU):
         net = self.net
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            k0, k1 = fwd_keys(rng, 2)
+
             def sup_loss(p):
-                f, ns = net.apply(p["net"], state["net"], bx["img"], train=True)
+                f, ns = net.apply(p["net"], state["net"], bx["img"], train=True,
+                                  rng=k0)
                 logit_x = prototypes_apply(f, p["C"])
                 loss_x = cross_entropy_logits(logit_x, bx["label"], bx.get("valid"))
                 return loss_x, (logit_x, ns)
@@ -367,7 +380,8 @@ class MME(NetTrainerXU):
                     g1[g], opt_state[g], params[g], group=g)
 
             def ent_loss(p):
-                f, ns = net.apply(p["net"], ns_net, bu["img"], train=True)
+                f, ns = net.apply(p["net"], ns_net, bu["img"], train=True,
+                                  rng=k1)
                 logit_u = prototypes_apply(f, p["C"], reverse=True)
                 prob_u = jax.nn.softmax(logit_u.astype(jnp.float32), 1)
                 ent = -(-prob_u * jnp.log(prob_u + 1e-5)).sum(1)
@@ -420,15 +434,17 @@ class SE(NetTrainerXU):
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
             input_x = bx["img"][:, 0]
             input_u1, input_u2 = bu["img"][:, 0], bu["img"][:, 1]
+            k0, k1, k2 = fwd_keys(rng, 3)
             t_logits, t_ns = net.apply(
-                extra["teacher"], extra["teacher_state"], input_u2, train=True)
+                extra["teacher"], extra["teacher_state"], input_u2, train=True,
+                rng=k0)
             t_prob = jax.lax.stop_gradient(
                 jax.nn.softmax(t_logits.astype(jnp.float32), 1))
 
             def loss_fn(p):
-                logit_x, ns = net_apply(p, state, input_x, train=True)
+                logit_x, ns = net_apply(p, state, input_x, train=True, rng=k1)
                 loss_x = cross_entropy_logits(logit_x, bx["label"], bx.get("valid"))
-                logit_u, ns = net_apply(p, ns, input_u1, train=True)
+                logit_u, ns = net_apply(p, ns, input_u1, train=True, rng=k2)
                 prob_u = jax.nn.softmax(logit_u.astype(jnp.float32), 1)
                 per = ((prob_u - t_prob) ** 2).sum(1)
                 if conf_thre:
@@ -534,18 +550,20 @@ class M3SDA(NetTrainerXU):
             xs = chunks(bx["img"])
             ys = chunks(bx["label"])
             ds = [bx["domain"][i * split] for i in range(nd)]
+            keys = fwd_keys(rng, 2 * (nd + 1) + n_step_F)
 
             # Step A
             def loss_A(p):
                 loss_x, feats, ns = 0.0, [], state["F"]
-                for x, y, d in zip(xs, ys, ds):
-                    f, ns = net.apply(p["F"], ns, x, train=True)
+                for ki, (x, y, d) in enumerate(zip(xs, ys, ds)):
+                    f, ns = net.apply(p["F"], ns, x, train=True, rng=keys[ki])
                     z1, z2 = pair_apply(p["C"], d, f)
                     loss_x += (cross_entropy_logits(z1, y)
                                + cross_entropy_logits(z2, y))
                     feats.append(f)
                 loss_x = loss_x / nd
-                fu, ns = net.apply(p["F"], ns, bu["img"], train=True)
+                fu, ns = net.apply(p["F"], ns, bu["img"], train=True,
+                                   rng=keys[nd])
                 loss_msda = moment_distance(feats, fu)
                 return loss_x + loss_msda * lmda, ns
 
@@ -557,11 +575,13 @@ class M3SDA(NetTrainerXU):
             state = dict(state, F=ns_f)
 
             # Step B: classifiers maximize discrepancy (features frozen)
-            feat_u, ns_f = net.apply(new_p["F"], state["F"], bu["img"], train=True)
+            feat_u, ns_f = net.apply(new_p["F"], state["F"], bu["img"],
+                                     train=True, rng=keys[nd + 1])
             feat_u = jax.lax.stop_gradient(feat_u)
             feats, ns_f2 = [], ns_f
-            for x in xs:
-                f, ns_f2 = net.apply(new_p["F"], ns_f2, x, train=True)
+            for ki, x in enumerate(xs):
+                f, ns_f2 = net.apply(new_p["F"], ns_f2, x, train=True,
+                                     rng=keys[nd + 2 + ki])
                 feats.append(jax.lax.stop_gradient(f))
             state = dict(state, F=ns_f2)
 
@@ -583,9 +603,9 @@ class M3SDA(NetTrainerXU):
 
             # Step C: features minimize discrepancy
             loss_c = jnp.float32(0.0)
-            for _ in range(n_step_F):
-                def loss_C(pf, st):
-                    fu, ns = net.apply(pf, st, bu["img"], train=True)
+            for ci in range(n_step_F):
+                def loss_C(pf, st, _k=keys[2 * (nd + 1) + ci]):
+                    fu, ns = net.apply(pf, st, bu["img"], train=True, rng=_k)
                     loss_dis = 0.0
                     for d in ds:
                         z1, z2 = pair_apply(new_p["C"], d, fu)
@@ -729,9 +749,12 @@ class CDAC(NetTrainerXU):
             input_us = bu["img2"][:, 0]
             input_us2 = bu["img2"][:, 1]
 
+            keys = fwd_keys(rng, 4)
+
             # Eq. 2 supervised loss (own backward+step)
             def sup_loss(p):
-                f, ns = net.apply(p["F"], state["F"], input_x, train=True)
+                f, ns = net.apply(p["F"], state["F"], input_x, train=True,
+                                  rng=keys[0])
                 logit_x = prototypes_apply(f, p["C"])
                 return cross_entropy_logits(
                     logit_x, bx["label"], bx.get("valid")), (logit_x, ns)
@@ -746,9 +769,12 @@ class CDAC(NetTrainerXU):
             state = dict(state, F=ns_f)
 
             def unsup_loss(p):
-                fu, ns = net.apply(p["F"], state["F"], input_u, train=True)
-                fus, ns = net.apply(p["F"], ns, input_us, train=True)
-                fus2, ns = net.apply(p["F"], ns, input_us2, train=True)
+                fu, ns = net.apply(p["F"], state["F"], input_u, train=True,
+                                   rng=keys[1])
+                fus, ns = net.apply(p["F"], ns, input_us, train=True,
+                                    rng=keys[2])
+                fus2, ns = net.apply(p["F"], ns, input_us2, train=True,
+                                     rng=keys[3])
 
                 # Eq. 3 adversarial adaptive clustering (GRL prototypes)
                 lu_r = prototypes_apply(fu, p["C"], reverse=True)
@@ -902,8 +928,10 @@ class DAEL(NetTrainerXU):
             ys = [create_onehot(y, n_cls) for y in chunks(bx["label"])]
             ds = [bx["domain"][i * split] for i in range(nd)]
 
+            keys = fwd_keys(rng, 2 * nd + 2)
             # pseudo-labels from the most confident expert (no grad)
-            feat_u, ns0 = net.apply(params["F"], state["F"], bu["img"], train=True)
+            feat_u, ns0 = net.apply(params["F"], state["F"], bu["img"],
+                                    train=True, rng=keys[0])
             pred_u = experts_all(params["E"], feat_u)  # (B,K,C)
             experts_max_p = pred_u.max(2)  # (B,K)
             experts_max_idx = pred_u.argmax(2)  # (B,K)
@@ -920,13 +948,16 @@ class DAEL(NetTrainerXU):
                 loss_x, loss_cr, acc_x = 0.0, 0.0, 0.0
                 ns = ns0
                 feats, feats2 = [], []
-                for x in xs:
-                    f, ns = net.apply(p["F"], ns, x, train=True)
+                for ki, x in enumerate(xs):
+                    f, ns = net.apply(p["F"], ns, x, train=True,
+                                      rng=keys[1 + ki])
                     feats.append(f)
-                for x in x2s:
-                    f, ns = net.apply(p["F"], ns, x, train=True)
+                for ki, x in enumerate(x2s):
+                    f, ns = net.apply(p["F"], ns, x, train=True,
+                                      rng=keys[1 + nd + ki])
                     feats2.append(f)
-                feat_u2, ns = net.apply(p["F"], ns, bu["img2"], train=True)
+                feat_u2, ns = net.apply(p["F"], ns, bu["img2"], train=True,
+                                        rng=keys[1 + 2 * nd])
 
                 for f_i, f2_i, y_i, d_i in zip(feats, feats2, ys, ds):
                     pred_i = expert_one(p["E"], d_i, f_i)

@@ -24,7 +24,7 @@ from ...models.backbones.common import linear_init
 from ...models.networks import build_network
 from ...models.simple_net import SimpleNet
 from .base import NetTrainerX, accuracy, cross_entropy_logits
-from .ops import create_onehot
+from .ops import create_onehot, fwd_keys
 from .ssl import _WeakStrongWrapper
 
 
@@ -37,9 +37,11 @@ class Vanilla(NetTrainerX):
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            (k0,) = fwd_keys(rng, 1)
+
             def loss_fn(p):
                 # rng reaches the backbone so MixStyle/EFDMix variants work
-                logits, ns = net_apply(p, state, bx["img"], train=True, rng=rng)
+                logits, ns = net_apply(p, state, bx["img"], train=True, rng=k0)
                 loss = cross_entropy_logits(logits, bx["label"], bx.get("valid"))
                 return loss, (logits, ns)
 
@@ -81,15 +83,19 @@ class CrossGrad(NetTrainerX):
 
             # input gradients (the perturbation passes also advance BN
             # stats in the reference; thread their states forward)
+            keys = fwd_keys(rng, 6)
+
             def d_input_loss(img):
-                logits, ns = D_net.apply(params["D"], state["D"], img, True)
+                logits, ns = D_net.apply(params["D"], state["D"], img, True,
+                                         rng=keys[0])
                 return cross_entropy_logits(logits, d, vx), ns
 
             grad_d, ns_d = jax.grad(d_input_loss, has_aux=True)(x)
             input_d = x + eps_f * jnp.clip(grad_d, -0.1, 0.1)
 
             def f_input_loss(img):
-                logits, ns = F_net.apply(params["F"], state["F"], img, True)
+                logits, ns = F_net.apply(params["F"], state["F"], img, True,
+                                         rng=keys[1])
                 return cross_entropy_logits(logits, y, vx), ns
 
             grad_f, ns_f = jax.grad(f_input_loss, has_aux=True)(x)
@@ -99,8 +105,8 @@ class CrossGrad(NetTrainerX):
             input_f = jax.lax.stop_gradient(input_f)
 
             def loss_F(pf):
-                l1, ns = F_net.apply(pf, ns_f, x, True)
-                l2, ns = F_net.apply(pf, ns, input_d, True)
+                l1, ns = F_net.apply(pf, ns_f, x, True, rng=keys[2])
+                l2, ns = F_net.apply(pf, ns, input_d, True, rng=keys[3])
                 loss = ((1 - alpha_f) * cross_entropy_logits(l1, y, vx)
                         + alpha_f * cross_entropy_logits(l2, y, vx))
                 return loss, ns
@@ -109,8 +115,8 @@ class CrossGrad(NetTrainerX):
                 loss_F, has_aux=True)(params["F"])
 
             def loss_D(pd):
-                l1, ns = D_net.apply(pd, ns_d, x, True)
-                l2, ns = D_net.apply(pd, ns, input_f, True)
+                l1, ns = D_net.apply(pd, ns_d, x, True, rng=keys[4])
+                l2, ns = D_net.apply(pd, ns, input_f, True, rng=keys[5])
                 loss = ((1 - alpha_d) * cross_entropy_logits(l1, d, vx)
                         + alpha_d * cross_entropy_logits(l2, d, vx))
                 return loss, ns
@@ -184,11 +190,15 @@ class DDAIG(NetTrainerX):
             vx = bx.get("valid")
             epoch = step // spe
 
+            keys = fwd_keys(rng, 5)
+
             # Update G: minimize label loss, maximize domain loss
             def loss_G(pg):
                 x_p, nsg = perturb(pg, state["G"], x)
-                lf, _ = F_net.apply(params["F"], state["F"], x_p, True)
-                ld, _ = D_net.apply(params["D"], state["D"], x_p, True)
+                lf, _ = F_net.apply(params["F"], state["F"], x_p, True,
+                                    rng=keys[0])
+                ld, _ = D_net.apply(params["D"], state["D"], x_p, True,
+                                    rng=keys[1])
                 return (cross_entropy_logits(lf, y, vx)
                         - cross_entropy_logits(ld, d, vx)), nsg
 
@@ -204,9 +214,9 @@ class DDAIG(NetTrainerX):
 
             # Update F on clean (+ perturbed after warmup)
             def loss_F(pf):
-                l1, ns = F_net.apply(pf, state["F"], x, True)
+                l1, ns = F_net.apply(pf, state["F"], x, True, rng=keys[2])
                 base = cross_entropy_logits(l1, y, vx)
-                l2, ns = F_net.apply(pf, ns, x_p, True)
+                l2, ns = F_net.apply(pf, ns, x_p, True, rng=keys[3])
                 blended = (1.0 - alpha) * base + alpha * cross_entropy_logits(
                     l2, y, vx)
                 loss = jnp.where(epoch + 1 > warmup, blended, base)
@@ -219,7 +229,7 @@ class DDAIG(NetTrainerX):
 
             # Update D on clean
             def loss_D(pd):
-                l1, ns = D_net.apply(pd, state["D"], x, True)
+                l1, ns = D_net.apply(pd, state["D"], x, True, rng=keys[4])
                 return cross_entropy_logits(l1, d, vx), ns
 
             (loss_d, ns_d), gD = jax.value_and_grad(
@@ -273,8 +283,10 @@ class DomainMix(NetTrainerX):
             x_mix = lam * x + (1.0 - lam) * x[perm]
             y_a, y_b = y, y[perm]
 
+            (kf,) = fwd_keys(rng, 1)
+
             def loss_fn(p):
-                logits, ns = net_apply(p, state, x_mix, train=True)
+                logits, ns = net_apply(p, state, x_mix, train=True, rng=kf)
                 loss = (lam * cross_entropy_logits(logits, y_a, vx)
                         + (1.0 - lam) * cross_entropy_logits(logits, y_b, vx))
                 return loss, (logits, ns)
@@ -366,15 +378,19 @@ class DAELDG(NetTrainerX):
             ys = [create_onehot(yy, n_cls) for yy in chunks(bx["label"])]
             ds = [bx["domain"][i * split] for i in range(nd)]
 
+            keys = fwd_keys(rng, 2 * nd)
+
             def loss_fn(p):
                 loss_x, loss_cr, acc = 0.0, 0.0, 0.0
                 ns = state["F"]
                 feats, feats2 = [], []
-                for xx in xs:
-                    f, ns = net.apply(p["F"], ns, xx, train=True)
+                for ki, xx in enumerate(xs):
+                    f, ns = net.apply(p["F"], ns, xx, train=True,
+                                      rng=keys[ki])
                     feats.append(f)
-                for xx in x2s:
-                    f, ns = net.apply(p["F"], ns, xx, train=True)
+                for ki, xx in enumerate(x2s):
+                    f, ns = net.apply(p["F"], ns, xx, train=True,
+                                      rng=keys[nd + ki])
                     feats2.append(f)
                 for f_i, f2_i, y_i, d_i in zip(feats, feats2, ys, ds):
                     pred_i = expert_one(p["E"], d_i, f_i)

@@ -34,6 +34,16 @@ def create_onehot(labels, num_classes):
     return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
 
+def fwd_keys(rng, n):
+    """Per-forward dropout keys for a step: the reference runs every
+    train-mode net forward with stochastic layers live (torch modules in
+    .train()), so each forward in a step gets its own key.  Derived by
+    fold_in on an offset stream so threading dropout through a trainer
+    never perturbs its pre-existing draws (mixup lambdas, permutations,
+    which consume split(rng, ...) directly)."""
+    return [jax.random.fold_in(rng, 1000 + i) for i in range(n)]
+
+
 def mixup_pair(rng, x1, x2, y1, y2, beta, preserve_order=True):
     """dassl ops/mixup.py: PER-SAMPLE lam ~ Beta(beta, beta) — the
     reference samples shape (B, 1, 1, 1), one mixing weight per row."""

@@ -23,6 +23,7 @@ from .ops import (
     create_onehot,
     ema_update,
     linear_rampup,
+    fwd_keys,
     mixup_pair,
     sharpen_prob,
     sigmoid_rampup,
@@ -43,8 +44,10 @@ class SupBaseline(NetTrainerXU):
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            (k0,) = fwd_keys(rng, 1)
+
             def loss_fn(p):
-                logits, ns = net_apply(p, state, bx["img"], train=True)
+                logits, ns = net_apply(p, state, bx["img"], train=True, rng=k0)
                 loss = cross_entropy_logits(logits, bx["label"], bx.get("valid"))
                 return loss, (logits, ns)
 
@@ -68,10 +71,12 @@ class EntMin(NetTrainerXU):
         net_apply = self.net_apply
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            k0, k1 = fwd_keys(rng, 2)
+
             def loss_fn(p):
-                logits_x, ns = net_apply(p, state, bx["img"], train=True)
+                logits_x, ns = net_apply(p, state, bx["img"], train=True, rng=k0)
                 loss_x = cross_entropy_logits(logits_x, bx["label"], bx.get("valid"))
-                logits_u, ns = net_apply(p, ns, bu["img"], train=True)
+                logits_u, ns = net_apply(p, ns, bu["img"], train=True, rng=k1)
                 prob_u = jax.nn.softmax(logits_u.astype(jnp.float32), axis=1)
                 ent = -(prob_u * jnp.log(prob_u + 1e-5)).sum(1)
                 loss_u = masked_mean(ent, bu.get("valid"))
@@ -114,17 +119,19 @@ class MeanTeacher(NetTrainerXU):
         }
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
+            k0, k1, k2 = fwd_keys(rng, 3)
             # teacher forward in train mode (reference keeps teacher.train())
             t_logits, t_ns = net.apply(
-                extra["teacher"], extra["teacher_state"], bu["img"], train=True
+                extra["teacher"], extra["teacher_state"], bu["img"], train=True,
+                rng=k0,
             )
             target_u = jax.nn.softmax(t_logits.astype(jnp.float32), axis=1)
             target_u = jax.lax.stop_gradient(target_u)
 
             def loss_fn(p):
-                logits_x, ns = net_apply(p, state, bx["img"], train=True)
+                logits_x, ns = net_apply(p, state, bx["img"], train=True, rng=k1)
                 loss_x = cross_entropy_logits(logits_x, bx["label"], bx.get("valid"))
-                logits_u, ns = net_apply(p, ns, bu["img"], train=True)
+                logits_u, ns = net_apply(p, ns, bu["img"], train=True, rng=k2)
                 prob_u = jax.nn.softmax(logits_u.astype(jnp.float32), axis=1)
                 mse = ((prob_u - target_u) ** 2).sum(1)
                 loss_u = masked_mean(mse, bu.get("valid"))
@@ -180,10 +187,12 @@ class MixMatch(NetTrainerXU):
             K = bu["img"].shape[1]
             views_u = [bu["img"][:, k] for k in range(K)]
 
+            keys = fwd_keys(rng, K + 2)
             prob_sum = 0.0
             ns0 = state
-            for v in views_u:
-                logits_v, ns0 = net_apply(params, ns0, v, train=True)
+            for kv, v in enumerate(views_u):
+                logits_v, ns0 = net_apply(params, ns0, v, train=True,
+                                          rng=keys[kv])
                 prob_sum = prob_sum + jax.nn.softmax(
                     logits_v.astype(jnp.float32), axis=1
                 )
@@ -209,10 +218,12 @@ class MixMatch(NetTrainerXU):
                 # ns0: the pseudo-label passes ran in train mode, so their
                 # BN-stat updates flow into the training passes (the
                 # reference's no_grad train-mode forwards do the same)
-                logits_x, ns = net_apply(p, ns0, mixed_x, train=True)
+                logits_x, ns = net_apply(p, ns0, mixed_x, train=True,
+                                         rng=keys[K])
                 prob_x = jax.nn.softmax(logits_x.astype(jnp.float32), axis=1)
                 loss_x = (-(mixed_lx * jnp.log(prob_x + 1e-5)).sum(1)).mean()
-                logits_u, ns = net_apply(p, ns, mixed_u, train=True)
+                logits_u, ns = net_apply(p, ns, mixed_u, train=True,
+                                         rng=keys[K + 1])
                 prob_u = jax.nn.softmax(logits_u.astype(jnp.float32), axis=1)
                 loss_u = ((mixed_lu - prob_u) ** 2).mean()
                 w_u = weight_u * linear_rampup(step, rampup)
@@ -312,7 +323,9 @@ class FixMatch(NetTrainerXU):
             input_u2 = jnp.concatenate([bx["img2"], bu["img2"]], axis=0)
             n_x = bx["img"].shape[0]
 
-            logits_w, ns_w = net_apply(params, state, input_u, train=True)
+            k0, k1, k2 = fwd_keys(rng, 3)
+            logits_w, ns_w = net_apply(params, state, input_u, train=True,
+                                       rng=k0)
             prob_w = jax.nn.softmax(logits_w.astype(jnp.float32), axis=1)
             max_prob = prob_w.max(1)
             label_u_pred = prob_w.argmax(1)
@@ -327,9 +340,10 @@ class FixMatch(NetTrainerXU):
             keep_rate = mask_u[n_x:].mean()
 
             def loss_fn(p):
-                logits_x, ns = net_apply(p, ns_w, bx["img"], train=True)
+                logits_x, ns = net_apply(p, ns_w, bx["img"], train=True,
+                                         rng=k1)
                 loss_x = cross_entropy_logits(logits_x, bx["label"], bx.get("valid"))
-                logits_u2, ns = net_apply(p, ns, input_u2, train=True)
+                logits_u2, ns = net_apply(p, ns, input_u2, train=True, rng=k2)
                 logp = jax.nn.log_softmax(logits_u2.astype(jnp.float32), axis=1)
                 nll = -jnp.take_along_axis(logp, label_u_pred[:, None], 1)[:, 0]
                 loss_u = (nll * mask_u).mean()
