@@ -418,3 +418,42 @@ def test_supbaseline_digit5_trajectory_parity(tmp_path, monkeypatch):
             our_snap[k]["cls_w"], ref_snap[k]["p"]["classifier"]["w"],
             rtol=2e-3, atol=atol, err_msg=f"classifier diverged at step {k}")
         _assert_stats_close(our_snap[k]["bn"], ref_snap[k]["bn"], k)
+
+
+def test_supbaseline_digit5_8v1_parity(tmp_path):
+    """Dropout under SPMD: the bernoulli mask is drawn from a REPLICATED
+    key inside the sharded step, so the same step on an 8-device mesh and
+    on a single device must produce identical masks — hence identical
+    weight updates and BN running stats.  (The DANN dryrun covers BN +
+    critic; this pins the stochastic-layer path.)"""
+    import jax
+
+    from fsvlm_tpu.parallel import mesh as mesh_mod
+    from fsvlm_tpu.parallel.mesh import shard_batch
+
+    rng = np.random.RandomState(171)
+    imgs = rng.randn(BX, 32, 32, 3).astype(np.float32)
+    labels = rng.randint(0, N_CLS, size=BX).astype(np.int64)
+
+    def one_step(sub, devices):
+        cfg = _d5_cfg(tmp_path / sub)
+        cfg.TRAINER.NAME = "SupBaseline"
+        cfg.freeze()
+        t = _build_our_trainer(cfg)
+        t.mesh = mesh_mod.get_mesh(devices)
+        t._compile_steps()
+        bx = shard_batch(_our_batch(imgs, labels), t.mesh)
+        bu = shard_batch(_our_batch(imgs[:BU], labels[:BU]), t.mesh)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+        (t.params, t.opt_state, t.model_state, t.extra, _) = t._train_step_xu(
+            t.params, t.opt_state, t.model_state, t.extra, bx, bu, key,
+            np.asarray(0, np.int32))
+        return (jax.tree.map(np.asarray, t.params),
+                jax.tree.map(np.asarray, t.model_state))
+
+    p8, s8 = one_step("a", jax.devices())
+    p1, s1 = one_step("b", jax.devices()[:1])
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s8), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
