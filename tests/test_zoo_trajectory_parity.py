@@ -2228,3 +2228,65 @@ def test_domainmix_trajectory_parity(tmp_path, mix_type):
                       ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
                       ref_snap[k]["classifier"]["w"], "classifier W", k)
+
+
+def test_source_only_trajectory_parity(tmp_path):
+    """da/source_only.py: CE on the labeled source batch, unlabeled batch
+    ignored — the DA control baseline.  Same composition as SupBaseline
+    but through the TrainerXU parse path with a distinct metric contract."""
+    import_reference_trainers()
+    from dassl.engine.da.source_only import SourceOnly as RefSourceOnly
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False})
+    cfg.TRAINER.NAME = "SourceOnly"
+    cfg.freeze()
+
+    model = _ref_simplenet(cfg, N_CLS)
+    init_params = _convert_net(model, N_CLS)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=181)
+    bu_batches = _batches(n_steps, BU, seed=182)
+
+    shim = _base_shim(RefSourceOnly, cfg, model)
+
+    ref_out, ref_snap = [], []
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+            ref_out.append(out)
+            ref_snap.append(_convert_net(model, N_CLS))
+
+    ours = _build_our_trainer(cfg)
+    ours.params = {"net": _to_jnp(init_params)}
+    ours.opt_state = ours.tx.init(ours.params)
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        return _our_batch(*bx_batches[k]), _our_batch(*bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key in ("loss", "acc"):
+            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
+                1 + abs(ref_out[k][key])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        _assert_close(our_snap[k]["conv0"],
+                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+        _assert_close(our_snap[k]["cls_w"],
+                      ref_snap[k]["classifier"]["w"], "classifier W", k)
