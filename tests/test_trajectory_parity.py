@@ -1009,3 +1009,97 @@ def test_ivlp_trajectory_parity(tmp_path, monkeypatch):
             np.testing.assert_allclose(
                 our_snaps[k][key], ref_snaps[k][key], rtol=2e-3, atol=3e-5,
                 err_msg=f"{key} diverged at step {k}")
+
+
+def test_ivlp_partial_depth_forward_parity(monkeypatch):
+    """Deep-splice FLAG PADDING: with prompt depth 2 over 4-layer towers,
+    layers 2-3 must pass through un-spliced (_pad_deep's zero-pad rows +
+    False flags, ivlp_family.py:58-67).  The trajectory test runs depth ==
+    layers where the pad region is empty; this pins the partial-depth
+    case the production configs use (depth 9 over 12 layers) against the
+    reference's prompts_needed>i block construction (clip/model.py:345-352)."""
+    import torch
+
+    trainers_pkg = import_reference_trainers()  # noqa: F401
+    import sys
+    import types
+
+    monkeypatch.setitem(sys.modules, "timm", types.ModuleType("timm"))
+    import trainers.independentVL as ref_ivlp
+
+    monkeypatch.setattr(torch.Tensor, "half", lambda self, *a, **k: self)
+    monkeypatch.setattr(
+        torch.nn.Module, "half", lambda self, *a, **k: self, raising=True
+    )
+
+    N_CTX_T, N_CTX_V, DEPTH, LAYERS = 4, 2, 2, 4
+    cfg = _shared_cfg()
+    cfg.TRAINER.NAME = "IVLP"
+    cfg.TRAINER.IVLP.N_CTX_TEXT = N_CTX_T
+    cfg.TRAINER.IVLP.N_CTX_VISION = N_CTX_V
+    cfg.TRAINER.IVLP.CTX_INIT = "a photo of a"
+    cfg.TRAINER.IVLP.PROMPT_DEPTH_TEXT = DEPTH
+    cfg.TRAINER.IVLP.PROMPT_DEPTH_VISION = DEPTH
+    cfg.TRAINER.IVLP.PREC = "fp32"
+    cfg.freeze()
+
+    import_reference_clip()
+    from clip.model import CLIP
+
+    design = {
+        "trainer": "IVLP",
+        "vision_depth": DEPTH,
+        "language_depth": DEPTH,
+        "vision_ctx": N_CTX_V,
+        "language_ctx": N_CTX_T,
+    }
+    torch.manual_seed(17)
+    tm = CLIP(64, 32, LAYERS, 128, 16, 77, 49408, 128, 2, LAYERS,
+              design).float()
+    tm.transformer.init = False
+    tm.visual.transformer.init = False
+    model = ref_ivlp.CustomCLIP(cfg, CLASSNAMES, tm)
+    model.eval()
+
+    rng = np.random.RandomState(19)
+    imgs = rng.randn(4, 32, 32, 3).astype(np.float32)
+
+    with torch.no_grad():
+        prompts = model.prompt_learner()
+        ref_txt = model.text_encoder(prompts, model.tokenized_prompts).numpy()
+        ref_img = model.image_encoder(
+            torch.from_numpy(np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
+        ).numpy()
+
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+    from fsvlm_tpu.trainers.ivlp_family import (
+        build_vlp_frozen,
+        init_vlp_params,
+        vlp_image_features,
+        vlp_text_features,
+    )
+
+    params_clip, clip_cfg = clip_params_from_state_dict(dict(tm.state_dict()))
+    assert clip_cfg.transformer_layers == LAYERS
+    node = cfg.TRAINER.IVLP
+    frozen, pc = build_vlp_frozen(
+        cfg, node, params_clip, clip_cfg, CLASSNAMES, cfg.SEED)
+    p = init_vlp_params(node, clip_cfg, pc, np.random.RandomState(1))
+    p["ctx"] = jnp.asarray(model.prompt_learner.ctx.detach().numpy().copy())
+    p["vpt_shallow"] = jnp.asarray(tm.visual.VPT.detach().numpy().copy())
+    p["text_deep"] = jnp.asarray(
+        tm.transformer.resblocks[1].VPT_shallow.detach().numpy().copy()[None])
+    p["vision_deep"] = jnp.asarray(
+        tm.visual.transformer.resblocks[1]
+        .VPT_shallow.detach().numpy().copy()[None])
+    # depth 2 of 4: only layer 1 carries a prompt on either side
+    assert not hasattr(tm.transformer.resblocks[2], "VPT_shallow")
+    assert not hasattr(tm.transformer.resblocks[3], "VPT_shallow")
+
+    our_txt = np.asarray(vlp_text_features(p, frozen, clip_cfg, jnp.float32))
+    our_img = np.asarray(
+        vlp_image_features(p, frozen, clip_cfg, jnp.asarray(imgs), jnp.float32))
+    np.testing.assert_allclose(our_txt, ref_txt, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(our_img, ref_img, rtol=1e-4, atol=1e-5)
