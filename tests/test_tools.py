@@ -27,3 +27,28 @@ def test_interpret_prompt_on_checkpoint(tmp_path):
     assert result.returncode == 0, result.stderr[-1500:]
     assert "ctx[0]:" in result.stdout
     assert "Size of context:" in result.stdout
+
+
+def test_bench_infer_smoke():
+    """tools/bench_infer.py (serving-throughput bench) runs on CPU with the
+    tiny arch and prints one JSON line per batch size."""
+    import json
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_ARCH="test-tiny",
+        BENCH_CLASSES="7",
+        INFER_BATCHES="4",
+        INFER_STEPS="2",
+        INFER_INNER="2",
+    )
+    result = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_infer.py")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-1500:]
+    lines = [l for l in result.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["batch"] == 4 and rec["value"] > 0, rec

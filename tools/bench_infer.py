@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Zero-shot CLIP inference (serving) throughput on one chip.
+
+The training benches (bench.py, tools/bench_e2e.py) cover the train path;
+this tool measures the SERVING path the reference exercises through
+`trainer.test()` / ZeroshotCLIP (reference anchors: PromptSRC/trainers/
+zsclip.py:28-54 per-batch `model_inference`, Dassl engine trainer.py test
+loop): class text features are computed ONCE, then each request batch is
+uint8 pixels -> device normalize -> image tower -> logits -> top-1.
+
+Two numbers per batch size:
+  * compute img/s  — device-resident uint8 batches, INNER batches chained
+    in one dispatch (data-dependent carry); the on-chip serving ceiling.
+    The per-batch work includes the fused normalize and the argmax D2H.
+  * note: per-batch H2D streaming is NOT reported — this environment's
+    axon relay moves ~24 MB/s, three orders of magnitude below a real TPU
+    host NIC, so a streamed number would measure the tunnel, not the
+    design (same caveat as PERF.md's host-pipeline section).
+
+  BENCH_ARCH=ViT-B/16 INFER_BATCHES=64,256 python tools/bench_infer.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
+N_CLASSES = int(os.environ.get("BENCH_CLASSES", "1000"))
+BATCHES = [int(b) for b in os.environ.get("INFER_BATCHES", "64,128,256").split(",")]
+STEPS = int(os.environ.get("INFER_STEPS", "20"))
+INNER = int(os.environ.get("INFER_INNER", "10"))
+BF16 = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
+
+
+def _device_probe(timeout_s=600):
+    import threading
+
+    ok = {}
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok["v"] = float(jnp.ones((8, 8)).sum())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return "v" in ok
+
+
+def main():
+    import fsvlm_tpu  # noqa: F401  (re-asserts JAX_PLATFORMS over sitecustomize)
+    import jax
+
+    if not _device_probe():
+        print(json.dumps({"note": "device unreachable: TPU tunnel wedged"}))
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fsvlm_tpu.models.clip import ARCHS, encode_image, encode_text_ids, l2_normalize
+    from fsvlm_tpu.models.clip.convert import random_clip_params
+    from fsvlm_tpu.models.clip.tokenizer import tokenize
+    from fsvlm_tpu.ops.preprocess import normalize_only
+
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    clip_cfg = ARCHS[ARCH]
+    params = jax.tree.map(jnp.asarray, random_clip_params(clip_cfg, seed=0))
+    if BF16 and not on_cpu:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+
+    # class text features: computed once per deployment, as in test()
+    ids = tokenize([f"a photo of a class {i}." for i in range(N_CLASSES)])
+    txf = l2_normalize(encode_text_ids(params, clip_cfg, ids, compute_dtype=dtype))
+    scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
+
+    res = clip_cfg.image_resolution
+
+    def classify(images_u8):
+        """uint8 (B, res, res, 3) -> top-1 class ids (the serving request)."""
+        x = normalize_only(images_u8, out_size=res)
+        imf = l2_normalize(
+            encode_image(params, clip_cfg, x, compute_dtype=dtype)
+        )
+        logits = scale * (imf.astype(jnp.float32) @ txf.T.astype(jnp.float32))
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    for B in BATCHES:
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(
+            rng.randint(0, 256, (INNER, B, res, res, 3), dtype=np.uint8)
+        )
+
+        @jax.jit
+        def serve_many(batches, seed):
+            # data-dependent carry: batch i is perturbed by the previous
+            # prediction so XLA cannot batch/elide the chain
+            def one(carry, xb):
+                xb = xb.at[0, 0, 0, 0].set((carry[0] % 255).astype(jnp.uint8))
+                pred = classify(xb)
+                return pred, pred
+
+            _, preds = jax.lax.scan(one, seed, batches)
+            return preds
+
+        try:
+            seed0 = jnp.zeros((B,), jnp.int32)
+            preds = serve_many(imgs, seed0)
+            np.asarray(preds)  # warm + compile
+            t0 = time.time()
+            for _ in range(STEPS):
+                preds = serve_many(imgs, seed0)
+                np.asarray(preds[-1])  # host fetch each dispatch
+            dt = time.time() - t0
+            img_s = STEPS * INNER * B / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": f"zero-shot {ARCH} serving throughput (one chip)",
+                        "batch": B,
+                        "classes": N_CLASSES,
+                        "value": round(img_s, 1),
+                        "unit": "images/sec/chip",
+                        "ms_per_batch": round(dt / (STEPS * INNER) * 1e3, 3),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:
+            print(json.dumps({"batch": B, "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
