@@ -78,12 +78,12 @@ def _identity(img, _):
     return img
 
 
-def _cutout_abs(img, v):
+def _cutout_abs(img, v, rng=random):
     if v <= 0:
         return img
     w, h = img.size
-    x = random.uniform(0, w)
-    y = random.uniform(0, h)
+    x = rng.uniform(0, w)
+    y = rng.uniform(0, h)
     x0, y0 = int(max(0, x - v / 2)), int(max(0, y - v / 2))
     x1, y1 = int(min(w, x0 + v)), int(min(h, y0 + v))
     img = img.copy()
@@ -119,6 +119,8 @@ def _apply(img, name, magnitude, rng):
     v = lo + (hi - lo) * magnitude / 10.0
     if name in _SIGNED and rng.random() < 0.5:
         v = -v
+    if name == "Cutout":  # the one op with its own randomness (patch center)
+        return fn(img, v, rng)
     return fn(img, v)
 
 

@@ -62,6 +62,10 @@ class DataManager:
             wrapper = wrapper_cls(
                 data_source,
                 tfm,
+                # eval: cache the transformed tensor only — keeping the
+                # decoded PIL copy too would double host RAM for images
+                # that __getitem__ never re-reads
+                cache_decoded=is_train,
                 cache_transformed=not is_train,
                 k_transforms=cfg.DATALOADER.K_TRANSFORMS if is_train else 1,
                 return_img0=cfg.DATALOADER.RETURN_IMG0 and is_train,

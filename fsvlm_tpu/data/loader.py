@@ -52,6 +52,9 @@ class DatasetWrapper:
         self.img0_transform = img0_transform
         self.seed = seed
         self._serve_counts = {}
+        import threading
+
+        self._serve_lock = threading.Lock()
         self._decoded_cache = {} if (cache_decoded and len(data_source) <= max_cache_items) else None
         self._transformed_cache = (
             {} if (cache_transformed and len(data_source) <= max_cache_items) else None
@@ -59,13 +62,17 @@ class DatasetWrapper:
 
     def _item_rng(self, idx):
         """Deterministic per-(item, visit) rng: immune to loader-thread
-        interleaving, reproducible under cfg.SEED."""
+        interleaving, reproducible under cfg.SEED.  The visit-counter
+        read-modify-write is locked so a duplicate index inside one batch
+        (WeightedClassSampler draws with replacement) yields two DISTINCT
+        augmentation draws instead of byte-identical views."""
         if self.seed is None:
             return None
         import random as _random
 
-        count = self._serve_counts.get(idx, 0)
-        self._serve_counts[idx] = count + 1
+        with self._serve_lock:
+            count = self._serve_counts.get(idx, 0)
+            self._serve_counts[idx] = count + 1
         return _random.Random((self.seed * 1_000_003 + idx) * 7919 + count)
 
     def __len__(self):

@@ -174,7 +174,12 @@ class TrainTransform:
             x = (x - self.mean) / self.std
 
         if "gaussian_noise" in self.choices:
-            x = x + np.random.normal(self.gn_mean, self.gn_std, x.shape).astype(np.float32)
+            # draw from the per-call rng, not the process-global np.random:
+            # loader threads mutate the global state concurrently, which
+            # would break the seeded per-(item, visit) determinism contract
+            noise_rng = np.random.RandomState(rng.randrange(2**31))
+            x = x + noise_rng.normal(
+                self.gn_mean, self.gn_std, x.shape).astype(np.float32)
 
         if "instance_norm" in self.choices:
             x = (x - x.mean((0, 1))) / (x.std((0, 1)) + 1e-8)

@@ -516,6 +516,13 @@ class SimpleTrainer:
         sched = self._maybe_device_schedule(num_batches)
         if sched is None:
             batches = list(self.train_loader_x.iter_index_batches())
+            # Class/domain samplers report a construction-time __len__ that
+            # can differ from the batches an epoch actually yields (the
+            # reference's samplers have the same quirk, dassl
+            # samplers.py:37,92,148 — torch's loop just follows the
+            # iterator).  The fused scan must follow the real schedule.
+            if len(batches) != num_batches:
+                num_batches = len(batches)
             keys = ("label", "domain", "index", "valid")
             sched_np = {k: np.stack([b[k] for b in batches]) for k in keys}
             # pad the batch axis to the mesh size exactly like shard_batch

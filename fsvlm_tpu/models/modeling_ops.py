@@ -331,7 +331,7 @@ def conv2d_dynamic_init(rng, cin, cout, kernel_size, squeeze=None,
         p[name]["b"] = np.zeros(cout, np.float32)
     # grouped template: groups = min(cin, cout)
     groups = min(cin, cout)
-    p["conv_nn"] = {"w": (np.random.RandomState(0).standard_normal(
+    p["conv_nn"] = {"w": (rng.standard_normal(
         (kernel_size, kernel_size, cin // groups, cout)) *
         np.sqrt(2.0 / (kernel_size * kernel_size * cout))).astype(np.float32),
         "b": np.zeros(cout, np.float32)}

@@ -269,7 +269,15 @@ class LoRA(SimpleTrainer):
         return os.path.join(directory, self.cfg.DATASET.NAME, backbone, "lora")
 
     def save_model(self, epoch, directory, val_result=None, model_name=""):
-        """LoRA-only checkpoint with metadata (lora.py:405-452)."""
+        """LoRA-only checkpoint with metadata (lora.py:467-491).
+
+        Documented divergence: the reference writes EVERY save to the same
+        ``best.pt``, so under TEST.FINAL_MODEL=best_val the unconditional
+        last-epoch save clobbers the best-val checkpoint and "deploy the
+        best model" actually tests the final weights.  Here the best-val
+        save owns ``best.pkl`` and periodic/final saves go to ``last.pkl``
+        (when best-val tracking is on); ``load_model`` prefers best.pkl.
+        """
         save_dir = self._lora_dir(directory)
         mkdir_if_missing(save_dir)
         payload = {
@@ -278,7 +286,12 @@ class LoRA(SimpleTrainer):
             "epoch": epoch + 1,
             "val_result": val_result,
         }
-        path = os.path.join(save_dir, "best.pkl")
+        track_best = (
+            self.cfg.TEST.FINAL_MODEL == "best_val" and not self.cfg.TEST.NO_TEST
+        )
+        is_best_save = "best" in (model_name or "")
+        fname = "best.pkl" if (is_best_save or not track_best) else "last.pkl"
+        path = os.path.join(save_dir, fname)
         with open(path, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
         print(f"LoRA checkpoint saved to {path}")
@@ -292,7 +305,11 @@ class LoRA(SimpleTrainer):
             return
         path = os.path.join(self._lora_dir(directory), "best.pkl")
         if not os.path.exists(path):
-            raise FileNotFoundError(f"LoRA checkpoint not found at {path}")
+            alt = os.path.join(self._lora_dir(directory), "last.pkl")
+            if os.path.exists(alt):
+                path = alt
+            else:
+                raise FileNotFoundError(f"LoRA checkpoint not found at {path}")
         with open(path, "rb") as f:
             payload = pickle.load(f)
         meta = payload["metadata"]

@@ -56,11 +56,14 @@ def make_simclr_loader(cfg, data_source):
     tfm = TrainTransform(sim_cfg, rng=random.Random(max(cfg.SEED, 0)))
     wrapper = _TwoViewWrapper(data_source, tfm)
     sampler = RandomSampler(data_source, seed=cfg.SEED if cfg.SEED >= 0 else None)
+    # drop_last only when the few-shot set can fill a batch — otherwise the
+    # loader would yield zero batches and every epoch silently runs 0 steps
+    # (same guard as DataManager.make_loader)
     return BatchLoader(
         wrapper,
         sampler,
         batch_size=cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-        drop_last=True,
+        drop_last=len(data_source) >= cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
         num_threads=max(1, cfg.DATALOADER.NUM_WORKERS),
         extra_keys=("img2",),
     )

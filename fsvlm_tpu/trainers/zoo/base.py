@@ -50,6 +50,34 @@ def masked_mean(x, valid):
     return (x * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def masked_row_mean(x, valid):
+    """Mean over batch rows of a per-row reduction: non-batch axes are
+    averaged unconditionally, rows are weighted by ``valid`` (mesh-padding
+    mask, shard_batch).  Equals ``x.mean()`` when valid is None/all-ones."""
+    flat = x.reshape(x.shape[0], -1).mean(1)
+    return masked_mean(flat, valid)
+
+
+def masked_pair_mean(x, valid):
+    """Mean of a pairwise (B, B) matrix where both rows must be valid."""
+    if valid is None:
+        return x.mean()
+    w = valid.astype(x.dtype)
+    ww = w[:, None] * w[None, :]
+    return (x * ww).sum() / jnp.maximum(ww.sum(), 1.0)
+
+
+def masked_moments(f, valid, ddof=0):
+    """Row-masked per-feature mean and variance of ``f`` (B, D)."""
+    if valid is None:
+        return f.mean(0), f.var(0, ddof=ddof)
+    w = valid.astype(f.dtype)[:, None]
+    n = jnp.maximum(w.sum(), 1.0)
+    mu = (f * w).sum(0) / n
+    var = ((f - mu) ** 2 * w).sum(0) / jnp.maximum(n - ddof, 1.0)
+    return mu, var
+
+
 def accuracy(logits, labels, valid=None):
     correct = (logits.argmax(-1) == labels).astype(jnp.float32)
     return 100.0 * masked_mean(correct, valid)
@@ -68,6 +96,22 @@ class NetTrainerX(SimpleTrainer):
     model_name = "model"
     param_groups = None  # subclass: list of top-level param keys, or None
     _tx_group = {}  # group -> tx override (multi-update-per-step schedules)
+
+    def __init__(self, cfg):
+        # The device-fused augmentation pipeline (DATALOADER.DEVICE_AUG)
+        # swaps every train loader to raw-uint8 batches and relies on the
+        # trainer to fuse crop/flip/normalize into its step
+        # (engine/trainer.py SimpleTrainer._compile_steps).  The zoo steps
+        # consume host-transformed pixels (K_TRANSFORMS views, strong/weak
+        # FixMatch pipelines, RETURN_IMG0) that the device pipeline does not
+        # model — fail loudly instead of training on un-normalized uint8.
+        if cfg.DATALOADER.DEVICE_AUG:
+            raise ValueError(
+                "DATALOADER.DEVICE_AUG is only supported by the CLIP prompt "
+                "trainers; the DA/DG/SSL zoo trainers require the host "
+                "transform pipeline (multi-view / strong-weak augmentations)"
+            )
+        super().__init__(cfg)
 
     def build_model(self):
         cfg = self.cfg

@@ -23,7 +23,8 @@ from ...data.samplers import build_sampler
 from ...data.transforms import TrainTransform
 from ...engine.trainer import TRAINER_REGISTRY
 from ...models.backbones.common import linear_apply, linear_init
-from .base import NetTrainerXU, accuracy, cross_entropy_logits, masked_mean
+from .base import (NetTrainerXU, accuracy, cross_entropy_logits, masked_mean,
+                   masked_moments, masked_pair_mean, masked_row_mean)
 from .ops import (
     bce_logits,
     create_onehot,
@@ -270,11 +271,13 @@ class MCD(NetTrainerXU):
         def F_apply(p, s, x, train, rng=None):
             return net.apply(p, s, x, train=train, rng=rng)
 
-        def discrepancy(p1, p2):
-            return jnp.abs(p1 - p2).mean()
+        def discrepancy(p1, p2, valid):
+            # row-masked: mesh-padded rows must not bias the L1 discrepancy
+            return masked_row_mean(jnp.abs(p1 - p2), valid)
 
         def step_core(params, opt_state, state, extra, bx, bu, rng, step):
             vx = bx.get("valid")
+            vu = bu.get("valid")
             keys = fwd_keys(rng, 3 + n_step_F)
 
             # Step A: CE through F, C1, C2 jointly
@@ -308,7 +311,7 @@ class MCD(NetTrainerXU):
                                           bx["label"], vx)
                 p1 = jax.nn.softmax(linear_apply(feat_u, pc["C1"]).astype(jnp.float32), 1)
                 p2 = jax.nn.softmax(linear_apply(feat_u, pc["C2"]).astype(jnp.float32), 1)
-                return l1 + l2 - discrepancy(p1, p2)
+                return l1 + l2 - discrepancy(p1, p2, vu)
 
             loss_b, gB = jax.value_and_grad(loss_B)(
                 {"C1": new_p["C1"], "C2": new_p["C2"]})
@@ -323,7 +326,7 @@ class MCD(NetTrainerXU):
                     f, ns = F_apply(pf, st, bu["img"], True, _k)
                     p1 = jax.nn.softmax(linear_apply(f, new_p["C1"]).astype(jnp.float32), 1)
                     p2 = jax.nn.softmax(linear_apply(f, new_p["C2"]).astype(jnp.float32), 1)
-                    return discrepancy(p1, p2), ns
+                    return discrepancy(p1, p2, vu), ns
 
                 (loss_c, ns_f), gC = jax.value_and_grad(
                     loss_C, has_aux=True)(new_p["F"], state["F"])
@@ -526,7 +529,7 @@ class M3SDA(NetTrainerXU):
         def euclidean(a, b):
             return jnp.sqrt(((a - b) ** 2).sum() + 1e-12)
 
-        def moment_distance(feats, feat_u):
+        def moment_distance(feats, feat_u, valid_u):
             def pairwise(xs, u):
                 dist, count = 0.0, 0
                 for xi in xs:
@@ -537,10 +540,12 @@ class M3SDA(NetTrainerXU):
                 return dist / count
 
             # ddof=1: torch Tensor.var defaults to the unbiased estimator
-            # (da/m3sda.py moment_distance uses xi.var(0))
-            d1 = pairwise([f.mean(0) for f in feats], feat_u.mean(0))
-            d2 = pairwise([f.var(0, ddof=1) for f in feats],
-                          feat_u.var(0, ddof=1))
+            # (da/m3sda.py moment_distance uses xi.var(0)).  The source
+            # chunks are exact per-domain slices (mesh-pad rows sit past
+            # nd*split and never enter them); the target moments mask them.
+            mu_u, var_u = masked_moments(feat_u, valid_u, ddof=1)
+            d1 = pairwise([f.mean(0) for f in feats], mu_u)
+            d2 = pairwise([f.var(0, ddof=1) for f in feats], var_u)
             return (d1 + d2) / 2.0
 
         def chunks(x):
@@ -550,6 +555,7 @@ class M3SDA(NetTrainerXU):
             xs = chunks(bx["img"])
             ys = chunks(bx["label"])
             ds = [bx["domain"][i * split] for i in range(nd)]
+            vu = bu.get("valid")
             keys = fwd_keys(rng, 2 * (nd + 1) + n_step_F)
 
             # Step A
@@ -564,7 +570,7 @@ class M3SDA(NetTrainerXU):
                 loss_x = loss_x / nd
                 fu, ns = net.apply(p["F"], ns, bu["img"], train=True,
                                    rng=keys[nd])
-                loss_msda = moment_distance(feats, fu)
+                loss_msda = moment_distance(feats, fu, vu)
                 return loss_x + loss_msda * lmda, ns
 
             (loss_a, ns_f), gA = jax.value_and_grad(loss_A, has_aux=True)(params)
@@ -594,7 +600,7 @@ class M3SDA(NetTrainerXU):
                     z1, z2 = pair_apply(pc, d, feat_u)
                     p1 = jax.nn.softmax(z1.astype(jnp.float32), 1)
                     p2 = jax.nn.softmax(z2.astype(jnp.float32), 1)
-                    loss_dis += jnp.abs(p1 - p2).mean()
+                    loss_dis += masked_row_mean(jnp.abs(p1 - p2), vu)
                 return loss_x / nd - loss_dis / nd
 
             loss_b, gB = jax.value_and_grad(loss_B)(new_p["C"])
@@ -611,7 +617,7 @@ class M3SDA(NetTrainerXU):
                         z1, z2 = pair_apply(new_p["C"], d, fu)
                         p1 = jax.nn.softmax(z1.astype(jnp.float32), 1)
                         p2 = jax.nn.softmax(z2.astype(jnp.float32), 1)
-                        loss_dis += jnp.abs(p1 - p2).mean()
+                        loss_dis += masked_row_mean(jnp.abs(p1 - p2), vu)
                     return loss_dis / nd, ns
 
                 (loss_c, ns_f), gC = jax.value_and_grad(
@@ -748,6 +754,7 @@ class CDAC(NetTrainerXU):
             input_u = bu["img"][:, 0]
             input_us = bu["img2"][:, 0]
             input_us2 = bu["img2"][:, 1]
+            vu = bu.get("valid")
 
             keys = fwd_keys(rng, 4)
 
@@ -785,7 +792,7 @@ class CDAC(NetTrainerXU):
                 P = pu_r @ pus_r.T
                 bce = -(sim * jnp.log(P + 1e-7)
                         + (1.0 - sim) * jnp.log(1.0 - P + 1e-7))
-                aac_loss = -bce.mean()
+                aac_loss = -masked_pair_mean(bce, vu)
 
                 # Eq. 4 pseudo-label loss on the second strong view
                 lu = prototypes_apply(fu, p["C"])
@@ -796,15 +803,17 @@ class CDAC(NetTrainerXU):
                 max_probs = prob_u.max(1)
                 max_idx = prob_u.argmax(1)
                 mask = (max_probs >= p_thresh).astype(jnp.float32)
+                if vu is not None:  # mesh-pad rows are never pseudo-labeled
+                    mask = mask * vu.astype(mask.dtype)
                 logp = jax.nn.log_softmax(lus2.astype(jnp.float32), 1)
                 nll = -jnp.take_along_axis(logp, max_idx[:, None], 1)[:, 0]
-                pl_loss = (nll * mask).mean()
+                pl_loss = masked_mean(nll * mask, vu)
 
                 # Eq. 8 consistency with exponential rampup
                 cons_multi = rampup_coef * sigmoid_rampup(step, rampup_iters)
                 pus = jax.nn.softmax(lus.astype(jnp.float32), 1)
                 pus2 = jax.nn.softmax(lus2.astype(jnp.float32), 1)
-                cons_loss = cons_multi * ((pus - pus2) ** 2).mean()
+                cons_loss = cons_multi * masked_row_mean((pus - pus2) ** 2, vu)
 
                 loss_u = aac_loss + pl_loss + cons_loss
                 aux = (aac_loss, pl_loss, cons_loss, max_idx, mask, ns)
@@ -825,9 +834,9 @@ class CDAC(NetTrainerXU):
                 "acc_x": accuracy(logit_x, bx["label"], bx.get("valid")),
                 "loss_u": loss_u, "aac_loss": aac_loss, "pl_loss": pl_loss,
                 "cons_loss": cons_loss,
-                "p_u_pred_acc": eq.mean(),
+                "p_u_pred_acc": masked_mean(eq, vu),
                 "p_u_pred_acc_thre": (eq * mask).sum() / (mask.sum() + 1e-5),
-                "p_u_pred_keep": mask.mean(),
+                "p_u_pred_keep": masked_mean(mask, vu),
             }
             return new_p, new_os, state, extra, metrics
 
@@ -941,8 +950,11 @@ class DAEL(NetTrainerXU):
                 experts_max_idx, max_expert_idx[:, None], 1)[:, 0]
             pseudo_u = create_onehot(pseudo_idx, n_cls)
             pseudo_u = jax.lax.stop_gradient(pseudo_u)
-            mask_u = jax.lax.stop_gradient(
-                (max_expert_p >= conf_thre).astype(jnp.float32))
+            mask_u = (max_expert_p >= conf_thre).astype(jnp.float32)
+            vu = bu.get("valid")
+            if vu is not None:  # mesh-pad rows are never pseudo-labeled
+                mask_u = mask_u * vu.astype(mask_u.dtype)
+            mask_u = jax.lax.stop_gradient(mask_u)
 
             def loss_fn(p):
                 loss_x, loss_cr, acc_x = 0.0, 0.0, 0.0
@@ -983,7 +995,7 @@ class DAEL(NetTrainerXU):
                 loss_x, loss_cr = loss_x / nd, loss_cr / nd
                 pred_u2 = experts_all(p["E"], feat_u2).mean(1)
                 l_u = (-pseudo_u * jnp.log(pred_u2 + 1e-5)).sum(1)
-                loss_u = (l_u * mask_u).mean()
+                loss_u = masked_mean(l_u * mask_u, vu)
                 total = loss_x + loss_cr + loss_u * weight_u
                 return total, (loss_x, loss_cr, loss_u, acc_x / nd, ns)
 

@@ -322,6 +322,16 @@ class FixMatch(NetTrainerXU):
             input_u = jnp.concatenate([bx["img"], bu["img"]], axis=0)
             input_u2 = jnp.concatenate([bx["img2"], bu["img2"]], axis=0)
             n_x = bx["img"].shape[0]
+            vx, vu = bx.get("valid"), bu.get("valid")
+            # row mask over the concatenated [x; u] batch (mesh-pad rows)
+            valid_xu = None
+            if vx is not None or vu is not None:
+                def _v(b, ref):
+                    return (ref.astype(jnp.float32) if ref is not None
+                            else jnp.ones((b,), jnp.float32))
+
+                valid_xu = jnp.concatenate(
+                    [_v(n_x, vx), _v(bu["img"].shape[0], vu)], axis=0)
 
             k0, k1, k2 = fwd_keys(rng, 3)
             logits_w, ns_w = net_apply(params, state, input_u, train=True,
@@ -330,14 +340,16 @@ class FixMatch(NetTrainerXU):
             max_prob = prob_w.max(1)
             label_u_pred = prob_w.argmax(1)
             mask_u = (max_prob >= conf_thre).astype(jnp.float32)
+            if valid_xu is not None:  # pad rows are never pseudo-labeled
+                mask_u = mask_u * valid_xu
             label_u_pred = jax.lax.stop_gradient(label_u_pred)
             mask_u = jax.lax.stop_gradient(mask_u)
 
             # pseudo-label quality vs the (unused-for-training) true labels
             eq = (label_u_pred[n_x:] == bu["label"]).astype(jnp.float32)
             acc_thre = (eq * mask_u[n_x:]).sum() / (mask_u[n_x:].sum() + 1e-5)
-            acc_raw = eq.mean()
-            keep_rate = mask_u[n_x:].mean()
+            acc_raw = masked_mean(eq, vu)
+            keep_rate = masked_mean(mask_u[n_x:], vu)
 
             def loss_fn(p):
                 logits_x, ns = net_apply(p, ns_w, bx["img"], train=True,
@@ -346,7 +358,7 @@ class FixMatch(NetTrainerXU):
                 logits_u2, ns = net_apply(p, ns, input_u2, train=True, rng=k2)
                 logp = jax.nn.log_softmax(logits_u2.astype(jnp.float32), axis=1)
                 nll = -jnp.take_along_axis(logp, label_u_pred[:, None], 1)[:, 0]
-                loss_u = (nll * mask_u).mean()
+                loss_u = masked_mean(nll * mask_u, valid_xu)
                 return loss_x + loss_u * weight_u, (logits_x, loss_x, loss_u, ns)
 
             (loss, (logits_x, loss_x, loss_u, ns)), grads = jax.value_and_grad(

@@ -1,0 +1,193 @@
+"""Regression tests for the round-3 self-review findings.
+
+Each test pins one fixed failure mode:
+- zoo trainers must refuse the device-aug pipeline (they'd train on raw uint8)
+- the fused epoch must follow the sampler's ACTUAL yield, not its declared
+  __len__ (class/domain samplers drop leftover chunks, like the reference's,
+  dassl samplers.py:37,92,148)
+- LoRA best-val checkpoints must survive the unconditional last-epoch save
+  (divergence from the reference, which clobbers best.pt — lora.py:467-491)
+- the SimCLR two-view loader must not silently drop a sub-batch-size few-shot
+  set to zero batches
+- masked reductions must make mesh-padded rows weightless
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fsvlm_tpu.engine import build_trainer
+import fsvlm_tpu.trainers  # noqa: F401
+from fsvlm_tpu.trainers.zoo.base import (
+    masked_mean,
+    masked_moments,
+    masked_pair_mean,
+    masked_row_mean,
+)
+from test_coop_end2end import make_cfg
+from test_zoo_da import da_cfg
+
+
+# ---------------------------------------------------------------- zoo guards
+def test_zoo_trainer_rejects_device_aug(tmp_path):
+    cfg = da_cfg(tmp_path, **{
+        "TRAINER.NAME": "SourceOnly",
+        "DATALOADER.DEVICE_AUG": True,
+    })
+    cfg.freeze()
+    with pytest.raises(ValueError, match="DEVICE_AUG"):
+        build_trainer(cfg)
+
+
+# -------------------------------------------------- fused epoch vs samplers
+def test_fused_epoch_follows_actual_sampler_yield(tmp_path):
+    """RandomClassSampler declares len(data_source) but yields only complete
+    (n_cls x n_ins) chunk groups; the fused epoch must scan and log exactly
+    the batches the epoch produced (pre-fix: IndexError past the stacked
+    metrics)."""
+    cfg = make_cfg(
+        tmp_path,
+        **{
+            "DATASET.NUM_SHOTS": 5,  # 5 per class -> one leftover per class
+            "DATALOADER.TRAIN_X.SAMPLER": "RandomClassSampler",
+            "DATALOADER.TRAIN_X.N_INS": 2,
+            "DATALOADER.TRAIN_X.BATCH_SIZE": 8,
+            "DATALOADER.DEVICE_AUG": True,
+            "DATALOADER.PRE_SIZE": 48,
+            "OPTIM.MAX_EPOCH": 2,
+            "TEST.NO_TEST": True,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    # precondition for the regression: declared length exceeds actual yield
+    declared = len(t.train_loader_x)
+    actual = len(list(t.train_loader_x.iter_index_batches()))
+    assert actual < declared, (
+        "fixture no longer reproduces the sampler length mismatch "
+        f"(declared={declared}, actual={actual})"
+    )
+    t.train()  # pre-fix: IndexError in the fused metrics loop
+    assert t._device_cache is not None  # the fused path actually ran
+
+
+# --------------------------------------------------------- LoRA checkpoints
+def test_lora_best_val_checkpoint_survives_final_save(tmp_path):
+    from test_lora_simclr import lora_cfg
+
+    cfg = lora_cfg(tmp_path, **{
+        "TEST.FINAL_MODEL": "best_val",
+        "OPTIM.MAX_EPOCH": 3,
+    })
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+    d = t._lora_dir(cfg.OUTPUT_DIR)
+    best = os.path.join(d, "best.pkl")
+    last = os.path.join(d, "last.pkl")
+    assert os.path.exists(best) and os.path.exists(last)
+    with open(best, "rb") as f:
+        best_payload = pickle.load(f)
+    with open(last, "rb") as f:
+        last_payload = pickle.load(f)
+    # the final-epoch save landed in last.pkl, not on top of the best save
+    assert last_payload["epoch"] == cfg.OPTIM.MAX_EPOCH
+    assert best_payload["val_result"] == pytest.approx(t.best_result)
+
+
+# ------------------------------------------------------ SimCLR tiny datasets
+def test_simclr_loader_handles_sub_batch_dataset(tmp_path):
+    from fsvlm_tpu.trainers.simclr_utils import make_simclr_loader
+
+    cfg = make_cfg(tmp_path, **{"DATALOADER.TRAIN_X.BATCH_SIZE": 64})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    data = t.dm.dataset.train_x[:8]  # 8 images < batch 64
+    loader = make_simclr_loader(cfg, data)
+    batches = list(loader)
+    assert len(batches) == 1  # pre-fix: zero batches, silent no-op epochs
+    # the loader pads to the static batch shape; all 8 real rows are valid
+    assert batches[0]["img"].shape[0] == 64
+    assert int(np.asarray(batches[0]["valid"]).sum()) == 8
+    assert batches[0]["img2"].shape == batches[0]["img"].shape
+
+
+# ------------------------------------------------------- masked reductions
+def _pad(x, n):
+    return np.concatenate([x, np.repeat(x[-1:], n, axis=0)], axis=0)
+
+
+def test_masked_row_mean_ignores_padding():
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 7).astype(np.float32)
+    v = jnp.asarray([True] * 5 + [False] * 3)
+    base = float(jnp.abs(jnp.asarray(x)).mean())
+    padded = float(masked_row_mean(jnp.abs(jnp.asarray(_pad(x, 3))), v))
+    assert padded == pytest.approx(base, rel=1e-6)
+
+
+def test_masked_pair_mean_ignores_padding():
+    rng = np.random.RandomState(1)
+    x = rng.randn(5, 5).astype(np.float32)
+    xp = np.pad(x, ((0, 3), (0, 3)), mode="edge")
+    v = jnp.asarray([True] * 5 + [False] * 3)
+    base = float(jnp.asarray(x).mean())
+    padded = float(masked_pair_mean(jnp.asarray(xp), v))
+    assert padded == pytest.approx(base, rel=1e-6)
+
+
+def test_masked_moments_ignore_padding():
+    rng = np.random.RandomState(2)
+    f = rng.randn(6, 4).astype(np.float32)
+    v = jnp.asarray([True] * 6 + [False] * 2)
+    mu0, var0 = jnp.asarray(f).mean(0), jnp.asarray(f).var(0, ddof=1)
+    mu1, var1 = masked_moments(jnp.asarray(_pad(f, 2)), v, ddof=1)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-5)
+    # None mask falls back to the plain moments
+    mu2, var2 = masked_moments(jnp.asarray(f), None, ddof=1)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var0), atol=1e-7)
+
+
+def test_masked_mean_matches_plain_when_all_valid():
+    x = jnp.arange(6.0)
+    assert float(masked_mean(x, jnp.ones(6, bool))) == pytest.approx(
+        float(x.mean())
+    )
+
+
+# --------------------------------------- zoo trainers at indivisible batches
+@pytest.mark.parametrize("name", ["FixMatch", "MCD", "CDAC"])
+def test_zoo_padded_batches_train_finite(tmp_path, name):
+    """Batch 6 on the 8-device mesh pads 2 rows; the u-side losses must stay
+    finite and training must complete (the masked reductions keep pad rows
+    weightless; BN batch stats still see the duplicated rows — documented)."""
+    overrides = {
+        "TRAINER.NAME": name,
+        "DATALOADER.TRAIN_X.BATCH_SIZE": 6,
+        "DATALOADER.TRAIN_U.BATCH_SIZE": 6,
+        "OPTIM.MAX_EPOCH": 1,
+        "TEST.NO_TEST": True,
+    }
+    if name == "FixMatch":
+        from test_zoo_ssl import zoo_cfg
+
+        overrides["TRAINER.FIXMATCH.STRONG_TRANSFORMS"] = (
+            "random_flip", "cutout", "normalize")
+        cfg = zoo_cfg(tmp_path, **overrides)
+    else:
+        if name == "CDAC":
+            overrides.update({
+                "DATALOADER.K_TRANSFORMS": 2,
+                "TRAINER.CDAC.STRONG_TRANSFORMS": (
+                    "random_flip", "cutout", "normalize"),
+                "TRAINER.CDAC.P_THRESH": 0.5,
+            })
+        cfg = da_cfg(tmp_path, **overrides)
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
