@@ -37,26 +37,6 @@ REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
 
-def _device_probe(timeout_s=600):
-    """The axon TPU tunnel can wedge (every buffer op hangs while
-    jax.devices() still answers).  Probe with a tiny op under a timeout so a
-    wedged device yields a diagnosable result instead of an infinite hang."""
-    import threading
-
-    ok = {}
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        ok["v"] = float(jnp.ones((8, 8)).sum())
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return "v" in ok
-
-
 def main():
     import jax
 
@@ -67,7 +47,9 @@ def main():
     if env_platforms:
         jax.config.update("jax_platforms", env_platforms)
 
-    if not _device_probe():
+    from fsvlm_tpu.utils import device_probe, enable_compile_cache
+
+    if not device_probe():
         print(
             json.dumps(
                 {
@@ -81,13 +63,7 @@ def main():
         )
         os._exit(2)
 
-    # persistent compile cache: axon remote-compile is slow (~minutes for the
-    # full two-tower program); repeat bench runs hit the cache
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -91,6 +91,8 @@ class CfgNode(dict):
                 self[k] = _check_and_coerce(self[k], v, full)
 
     def merge_from_list(self, opts):
+        if self.is_frozen():
+            raise AttributeError("Attempted to merge into an immutable CfgNode")
         if len(opts) % 2 != 0:
             raise ValueError(f"Override list has odd length: {opts}")
         for full_key, v in zip(opts[0::2], opts[1::2]):
@@ -126,11 +128,12 @@ class CfgNode(dict):
         return f"CfgNode({super().__repr__()})"
 
     def dump(self):
-        def to_plain(node):
-            out = {}
-            for k, v in node.items():
-                out[k] = to_plain(v) if isinstance(v, CfgNode) else v
-            return out
+        def to_plain(v):
+            if isinstance(v, CfgNode):
+                return {k: to_plain(x) for k, x in v.items()}
+            if isinstance(v, tuple):  # safe_dump cannot represent tuples
+                return [to_plain(x) for x in v]
+            return v
 
         return yaml.safe_dump(to_plain(self))
 
@@ -149,6 +152,11 @@ def _decode_value(s):
     try:
         v = yaml.safe_load(s)
     except yaml.YAMLError:
+        return s
+    # yaml 1.1 resolves on/off/yes/no to bools; yacs' _decode_cfg_value keeps
+    # them as strings (only literal_eval), and the string-typed mode knobs
+    # (e.g. DATALOADER.DEVICE_RESIDENT "on"/"off", defaults.py) depend on it
+    if isinstance(v, bool) and s.lower() not in ("true", "false"):
         return s
     return v
 

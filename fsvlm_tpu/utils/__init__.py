@@ -4,6 +4,8 @@ from .registry import Registry, check_availability
 from .tools import (
     check_isfile,
     collect_env_info,
+    device_probe,
+    enable_compile_cache,
     listdir_nohidden,
     mkdir_if_missing,
     read_image,

@@ -17,7 +17,9 @@ class Logger:
         self.console = sys.stdout
         self.file = None
         if fpath is not None:
-            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            d = os.path.dirname(fpath)
+            if d:  # bare filenames log to the CWD
+                os.makedirs(d, exist_ok=True)
             self.file = open(fpath, "w")
 
     def __del__(self):

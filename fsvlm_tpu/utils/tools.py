@@ -82,3 +82,44 @@ def collect_env_info():
         f"default_backend: {jax.default_backend()}",
     ]
     return "\n".join(lines)
+
+
+def device_probe(timeout_s=600):
+    """True iff a tiny device op completes within `timeout_s` seconds.
+
+    The axon TPU tunnel can wedge so that every buffer op hangs while
+    jax.devices() still answers; probing with a real (tiny) computation
+    under a timeout turns an infinite hang into a diagnosable failure.
+    Shared by bench.py and the tools/bench_*.py drivers so wedge handling
+    cannot drift between them.
+    """
+    import threading
+
+    ok = {}
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok["v"] = float(jnp.ones((8, 8)).sum())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return "v" in ok
+
+
+def enable_compile_cache(path="/root/.jax_compile_cache", min_secs=5.0):
+    """Persistent XLA compile cache: remote (axon) compiles take minutes for
+    the full two-tower program; repeat bench runs hit the cache.  CPU runs
+    skip it — XLA:CPU AOT artifacts are machine-feature-specific, and
+    loading one compiled on a different host risks SIGILL (it also spams
+    feature-mismatch warnings)."""
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+    except Exception:
+        pass

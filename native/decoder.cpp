@@ -83,14 +83,16 @@ void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int oh,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode a JPEG buffer, resize shorter edge to pre_size, center-crop to
-// (pre_size, pre_size, 3) u8 into `out`.  Returns 0 on success.
-int fsvlm_decode_resize_crop(const uint8_t* data, long len, int pre_size,
-                             uint8_t* out) {
+// JPEG decode into caller-owned buffers.  All libjpeg calls (and therefore
+// every possible error_exit longjmp) happen inside THIS frame, which holds
+// no automatic objects with destructors — `raw` and `row` live in the
+// caller, so a longjmp cannot skip their cleanup (the previous layout
+// allocated them between setjmp and jpeg_read_scanlines, leaking both
+// heap blocks on every corrupt image: formally UB, practically a
+// per-failed-decode leak retried each epoch by every loader thread).
+int decode_jpeg(const uint8_t* data, long len, int pre_size,
+                std::vector<uint8_t>& raw, std::vector<uint8_t>& row,
+                int* out_w, int* out_h) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -120,8 +122,8 @@ int fsvlm_decode_resize_crop(const uint8_t* data, long len, int pre_size,
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
   const int comps = cinfo.output_components;
-  std::vector<uint8_t> raw(static_cast<size_t>(w) * h * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
+  raw.resize(static_cast<size_t>(w) * h * 3);
+  row.resize(static_cast<size_t>(w) * comps);
   JSAMPROW rowptr = row.data();
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
@@ -140,6 +142,23 @@ int fsvlm_decode_resize_crop(const uint8_t* data, long len, int pre_size,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  *out_w = w;
+  *out_h = h;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a JPEG buffer, resize shorter edge to pre_size, center-crop to
+// (pre_size, pre_size, 3) u8 into `out`.  Returns 0 on success.
+int fsvlm_decode_resize_crop(const uint8_t* data, long len, int pre_size,
+                             uint8_t* out) {
+  std::vector<uint8_t> raw, row;
+  int w = 0, h = 0;
+  const int rc = decode_jpeg(data, len, pre_size, raw, row, &w, &h);
+  if (rc != 0) return rc;
 
   // resize shorter edge to pre_size
   int ow, oh;

@@ -103,7 +103,11 @@ def main():
             for k, v in means.items():
                 final[k].append(v)
         print("=== overall average ===")
-        summarize({k: v for k, v in final.items()}, ci95=args.ci95)
+        # --keyword selects the metric for the final cross-experiment average
+        # (reference parse_test_res.py keys its main_results on it); fall
+        # back to everything when the keyword was never scraped.
+        picked = {k: v for k, v in final.items() if k == args.keyword}
+        summarize(picked or dict(final), ci95=args.ci95)
     else:
         print(f"Parsing files in {args.directory}")
         summarize(parse_dir(args.directory), ci95=args.ci95)

@@ -32,27 +32,12 @@ SHAPES = [
 ]
 
 
-def _device_probe(timeout_s=600):
-    import threading
-
-    ok = {}
-
-    def probe():
-        import jax.numpy as jnp
-
-        ok["v"] = float(jnp.ones((8, 8)).sum())
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return "v" in ok
-
-
 def main():
     import fsvlm_tpu  # noqa: F401  (re-asserts JAX_PLATFORMS over sitecustomize)
     import jax
+    from fsvlm_tpu.utils import device_probe
 
-    if not _device_probe():
+    if not device_probe():
         print(json.dumps({"note": "device unreachable: TPU tunnel wedged"}))
         return
     import jax.numpy as jnp

@@ -21,12 +21,9 @@ SHOTS = int(os.environ.get("BENCH_SHOTS", "16"))
 
 def main():
     import jax
+    from fsvlm_tpu.utils import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     from fsvlm_tpu.config import get_cfg_default
     from fsvlm_tpu.engine import build_trainer
@@ -42,7 +39,7 @@ def main():
     cfg.INPUT.TRANSFORMS = ["random_resized_crop", "random_flip", "normalize"]
     cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
     cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
-    cfg.MODEL.BACKBONE.NAME = ARCH if ARCH.startswith("test") else ARCH
+    cfg.MODEL.BACKBONE.NAME = ARCH
     cfg.MODEL.BACKBONE.PRETRAINED = False
     cfg.MODEL.FROZEN_DTYPE = os.environ.get("BENCH_FROZEN_DTYPE", "fp32")
     cfg.TRAINER.NAME = "PromptSRC"

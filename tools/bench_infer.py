@@ -35,34 +35,15 @@ INNER = int(os.environ.get("INFER_INNER", "10"))
 BF16 = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 
 
-def _device_probe(timeout_s=600):
-    import threading
-
-    ok = {}
-
-    def probe():
-        import jax.numpy as jnp
-
-        ok["v"] = float(jnp.ones((8, 8)).sum())
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return "v" in ok
-
-
 def main():
     import fsvlm_tpu  # noqa: F401  (re-asserts JAX_PLATFORMS over sitecustomize)
     import jax
+    from fsvlm_tpu.utils import device_probe, enable_compile_cache
 
-    if not _device_probe():
+    if not device_probe():
         print(json.dumps({"note": "device unreachable: TPU tunnel wedged"}))
         return
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

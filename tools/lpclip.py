@@ -62,19 +62,31 @@ def search_logreg(train_f, train_y, val_f, val_y, max_iter=1000):
         print(f"C={c:g}: val acc {acc*100:.2f}%")
     best = int(np.argmax(scores))
 
-    # stage 2: binary search between the best point's neighbors
+    # stage 2: the reference's two-endpoint bracket contraction
+    # (lpclip/linear_probe.py:64-92): evaluate BOTH bracket endpoints each
+    # round, keep the better one, and move the worse endpoint to the log
+    # midpoint — so the search can climb on either side of the coarse best.
     lo = cs[max(best - 1, 0)]
     hi = cs[min(best + 1, len(cs) - 1)]
     best_c, best_acc = cs[best], scores[best]
+    memo = {}
+
+    def eval_c(c):
+        if c not in memo:
+            memo[c], _ = fit_eval(c)
+            print(f"C={c:g}: val acc {memo[c]*100:.2f}%")
+        return memo[c]
+
     for _ in range(8):
+        acc_lo, acc_hi = eval_c(lo), eval_c(hi)
         mid = 10 ** ((np.log10(lo) + np.log10(hi)) / 2)
-        acc, _ = fit_eval(mid)
-        print(f"C={mid:g}: val acc {acc*100:.2f}%")
-        if acc > best_acc:
-            best_acc, best_c = acc, mid
-        if mid < best_c:
+        if acc_lo < acc_hi:
+            if acc_hi > best_acc:
+                best_acc, best_c = acc_hi, hi
             lo = mid
         else:
+            if acc_lo > best_acc:
+                best_acc, best_c = acc_lo, lo
             hi = mid
         if hi / lo < 1.1:
             break
