@@ -515,7 +515,11 @@ class CIFAR10(DatasetBase):
         items_x, items_u, items_v = [], [], []
         for label, class_name in enumerate(class_names):
             class_dir = osp.join(data_dir, class_name)
-            imnames = listdir_nohidden(class_dir)
+            # sorted before the split: the reference takes os.listdir order
+            # (ssl/cifar.py:51), making the val/labeled partition depend on
+            # filesystem enumeration — sorting keeps the same-seed split
+            # byte-identical across machines
+            imnames = listdir_nohidden(class_dir, sort=True)
             num_val = math.floor(len(imnames) * val_percent)
             imnames_train = imnames[num_val:]
             imnames_val = imnames[:num_val]
@@ -592,7 +596,12 @@ class STL10(DatasetBase):
         if fold >= 0:
             with open(fold_file) as f:
                 str_idx = f.read().splitlines()[fold]
-                list_idx = np.fromstring(str_idx, dtype=np.uint8, sep=" ")
+                # documented divergence: the reference parses with
+                # np.fromstring(dtype=np.uint8) (ssl/stl10.py:61), silently
+                # wrapping every fold index > 255 mod 256 — the folds index
+                # the 5000-image train split, so that corrupts the labeled
+                # set; parse at full width instead
+                list_idx = np.asarray(str_idx.split(), dtype=np.int64)
         items = []
         for i in list_idx:
             imname = imnames[int(i)]

@@ -28,8 +28,6 @@ class Synthetic(DatasetBase):
         n_cls = self.NUM_CLASSES
         shots = cfg.DATASET.NUM_SHOTS if cfg.DATASET.NUM_SHOTS > 0 else 4
         per_class = list(cfg.DATASET.PER_CLASS_SHOTS) or [shots] * n_cls
-        if cfg.DATASET.NUM_SHOTS >= 0 and not cfg.DATASET.PER_CLASS_SHOTS:
-            per_class = [shots] * n_cls
 
         classnames = [f"synthetic class {i}" for i in range(n_cls)]
         base_colors = rng.randint(40, 216, size=(n_cls, 3))

@@ -52,12 +52,20 @@ class DatasetWrapper:
         self.img0_transform = img0_transform
         self.seed = seed
         self._serve_counts = {}
-        import threading
-
         self._serve_lock = threading.Lock()
+        self.max_cache_items = max_cache_items
         self._decoded_cache = {} if (cache_decoded and len(data_source) <= max_cache_items) else None
         self._transformed_cache = (
             {} if (cache_transformed and len(data_source) <= max_cache_items) else None
+        )
+        # the transformed cache is also byte-budgeted: a 50k-image test set
+        # at 224^2 float32 is ~28 GB, far past any win from caching a
+        # deterministic eval transform (FSVLM_EVAL_CACHE_MB overrides)
+        import os
+
+        self._transformed_bytes = 0
+        self._transformed_budget = (
+            int(os.environ.get("FSVLM_EVAL_CACHE_MB", "4096")) << 20
         )
 
     def _item_rng(self, idx):
@@ -104,7 +112,16 @@ class DatasetWrapper:
             else:
                 x = self.transform(img, **tfm_kwargs)
             if self._transformed_cache is not None:
-                self._transformed_cache[idx] = x
+                self._transformed_bytes += getattr(x, "nbytes", 0)
+                if self._transformed_bytes > self._transformed_budget:
+                    print(
+                        "* transformed-tensor cache disabled: exceeds "
+                        f"{self._transformed_budget >> 20} MB "
+                        "(FSVLM_EVAL_CACHE_MB)"
+                    )
+                    self._transformed_cache = None
+                else:
+                    self._transformed_cache[idx] = x
         out = {
             "img": x,
             "label": item.label,
@@ -131,17 +148,21 @@ class RawDatasetWrapper(DatasetWrapper):
         kw.pop("cache_transformed", None)
         super().__init__(data_source, transform=None, cache_transformed=False, **kw)
         self.pre_size = pre_size
-        self._raw_cache = {}
+        # same item-count cap as the base class caches: a full-data run
+        # (e.g. ImageNet, 1.28M x pre_size^2 x 3) must not accrete the
+        # whole set in host RAM when the device-resident path already
+        # declined it for budget
+        self._raw_cache = {} if len(data_source) <= self.max_cache_items else None
 
     def __getitem__(self, idx):
         item = self.data_source[idx]
-        x = self._raw_cache.get(idx)
+        x = self._raw_cache.get(idx) if self._raw_cache is not None else None
         if x is None and item.impath.lower().endswith((".jpg", ".jpeg")):
             # native C++ decode path (GIL released; see fsvlm_tpu.native)
             from ..native import decode_file
 
             x = decode_file(item.impath, self.pre_size)
-            if x is not None:
+            if x is not None and self._raw_cache is not None:
                 self._raw_cache[idx] = x
         if x is None:
             from PIL import Image
@@ -156,7 +177,8 @@ class RawDatasetWrapper(DatasetWrapper):
             top = (img.height - P) // 2
             img = img.crop((left, top, left + P, top + P))
             x = np.asarray(img, np.uint8)
-            self._raw_cache[idx] = x
+            if self._raw_cache is not None:
+                self._raw_cache[idx] = x
         return {
             "img": x,
             "label": item.label,
@@ -205,7 +227,10 @@ class BatchLoader:
             np.uint8 if getattr(self.wrapper, "raw_uint8", False) else np.float32
         )
         batch = {
-            "img": np.stack([it["img"] for it in items]).astype(img_dtype),
+            # copy=False: np.stack already yields the right dtype on both
+            # pipelines (float32 transforms / uint8 raw) — no extra memcpy
+            "img": np.stack([it["img"] for it in items]).astype(
+                img_dtype, copy=False),
             "label": np.asarray([it["label"] for it in items], np.int32),
             "domain": np.asarray([it["domain"] for it in items], np.int32),
             "index": np.asarray([it["index"] for it in items], np.int32),

@@ -17,6 +17,16 @@ TAIL_N=$6
 LOSS=${7:-ce}
 DATA=${8:-${DATA:-~/data}}
 
+# LOSS_TYPE exists only on the CoOp/PromptSRC/LinearProbeCLIP config nodes
+# (and LinearProbeCLIP's node is LINEAR_PROBE, not ${TRAINER^^}); other
+# trainers run their default objective and must not get the opt at all.
+case "${TRAINER}" in
+  CoOp) LOSS_OPT=(TRAINER.COOP.LOSS_TYPE "${LOSS}") ;;
+  PromptSRC) LOSS_OPT=(TRAINER.PROMPTSRC.LOSS_TYPE "${LOSS}") ;;
+  LinearProbeCLIP) LOSS_OPT=(TRAINER.LINEAR_PROBE.LOSS_TYPE "${LOSS}") ;;
+  *) LOSS_OPT=() ;;
+esac
+
 repeat_value() {
   local out=""
   for ((i = 0; i < $2; i++)); do out="$out,$1"; done
@@ -39,5 +49,5 @@ for TAIL_SHOTS in 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
       --output-dir "${DIR}" \
       DATASET.NUM_SHOTS -1 \
       DATASET.PER_CLASS_SHOTS "${PER_CLASS_SHOTS}" \
-      TRAINER.${TRAINER^^}.LOSS_TYPE "${LOSS}" || exit 1
+      "${LOSS_OPT[@]}" || exit 1
 done

@@ -191,3 +191,56 @@ def test_zoo_padded_batches_train_finite(tmp_path, name):
     cfg.freeze()
     t = build_trainer(cfg)
     t.train()
+
+
+# ------------------------------------------------ dataset/CLI audit fixes
+def test_stl10_fold_indices_above_255(tmp_path):
+    """Fold indices address the 5000-image train split; the reference's
+    uint8 parse (ssl/stl10.py:61) wraps index 256 to 0 — ours must not."""
+    import os.path as osp
+
+    from fsvlm_tpu.data import DATASET_REGISTRY
+    from test_legacy_datasets import _img, base_cfg
+
+    d = tmp_path / "stl10"
+    for i in range(257):
+        _img(str(d / "train" / f"im{i:03d}_{i % 2}.png"))
+    _img(str(d / "test" / "im0_0.png"))
+    _img(str(d / "unlabeled" / "u0_none.png"))
+    os.makedirs(d / "stl10_binary", exist_ok=True)
+    with open(d / "stl10_binary" / "fold_indices.txt", "w") as f:
+        f.write("256\n")
+    cfg = base_cfg(tmp_path, **{"DATASET.STL10_FOLD": 0})
+    ds = DATASET_REGISTRY.get("STL10")(cfg)
+    assert len(ds.train_x) == 1
+    assert osp.basename(ds.train_x[0].impath) == "im256_0.png"
+
+
+def test_simclr_override_rejects_device_aug(tmp_path):
+    from train import maybe_override_simclr_loader
+
+    cfg = make_cfg(tmp_path, **{
+        "TRAINER.COOP.LOSS_TYPE": "simclr",
+        "DATALOADER.DEVICE_AUG": True,
+        "DATALOADER.PRE_SIZE": 48,
+    })
+    cfg.freeze()
+    t = build_trainer(cfg)
+    with pytest.raises(ValueError, match="DEVICE_AUG"):
+        maybe_override_simclr_loader(cfg, t)
+
+
+def test_base_count_table_is_half_of_class_count():
+    """Every base/new report bucket must equal ceil(n_classes/2) — the
+    subsample split the models actually train on (Caltech101 is 50, not
+    the reference table's 51; train.py documents the divergence)."""
+    from train import DATASET_NAME_TO_BASECOUNT
+
+    n_classes = {
+        "DescribableTextures": 47, "OxfordPets": 37, "OxfordFlowers": 102,
+        "FGVCAircraft": 100, "Caltech101": 100, "Food101": 101,
+        "UCF101": 101, "StanfordCars": 196, "SUN397": 397, "EuroSAT": 10,
+        "ImageNet": 1000,
+    }
+    for name, n in n_classes.items():
+        assert DATASET_NAME_TO_BASECOUNT[name] == (n + 1) // 2, name

@@ -34,7 +34,12 @@ DATASET_NAME_TO_BASECOUNT = {
     "OxfordPets": 19,
     "OxfordFlowers": 51,
     "FGVCAircraft": 50,
-    "Caltech101": 51,
+    # documented divergence: the reference table says 51 (train.py:264),
+    # but Caltech101 has 100 classes after the two ignored folders, so the
+    # base half is ceil(100/2) = 50 — the reference's own base/new
+    # subsample (SUBSAMPLE_CLASSES=base) trains on 50; 51 would misbucket
+    # the first new class in the report
+    "Caltech101": 50,
     "Food101": 51,
     "UCF101": 51,
     "StanfordCars": 98,
@@ -135,6 +140,17 @@ def maybe_override_simclr_loader(cfg, trainer):
     ]
     if not (any(a > 0 for a in alphas) or "simclr" in loss_types):
         return
+    if cfg.DATALOADER.DEVICE_AUG:
+        # the jitted step was compiled with the device-side crop/flip/
+        # normalize baked in (engine/trainer.py _compile_steps), which
+        # expects raw-uint8 batches — the SimCLR loader feeds transformed,
+        # normalized float views, so the combination silently corrupts
+        # pixels.  Fail loudly.
+        raise ValueError(
+            "SimCLR objectives require the host transform pipeline: unset "
+            "DATALOADER.DEVICE_AUG (the two-view loader feeds normalized "
+            "float views that the device-fused augment would re-normalize)"
+        )
     from fsvlm_tpu.trainers.simclr_utils import make_simclr_loader
 
     print(">> SimCLR objective active => overriding train_loader_x with a two-view loader!")
