@@ -297,8 +297,11 @@ class SUN397(_StandardDataset):
         split_path = os.path.join(self.dataset_dir, "split_zhou_SUN397.json")
 
         def fallback():
+            # ClassName.txt lives next to the SUN397/ image folder: the
+            # documented layout extracts Partitions.zip under sun397/
+            # (sun397.py:30, docs/DATASETS.md SUN397 section)
             cname2lab = {}
-            with open(os.path.join(self.image_dir, "ClassName.txt")) as f:
+            with open(os.path.join(self.dataset_dir, "ClassName.txt")) as f:
                 for i, line in enumerate(f):
                     cname2lab[line.strip()[1:]] = i  # strip leading "/"
             trainval = self._read(cname2lab, "Training_01.txt")

@@ -40,13 +40,25 @@ class RandomClassSampler:
     """Sample N classes x K instances per batch (samplers.py:118-178)."""
 
     def __init__(self, data_source, batch_size, n_ins, seed=None):
-        if batch_size % n_ins != 0:
-            raise ValueError("batch_size must be divisible by n_ins")
+        # the reference only requires batch_size >= n_ins and floors the
+        # class count (samplers.py:131-141) — non-divisible batches sample
+        # batch_size//n_ins classes
+        if batch_size < n_ins:
+            raise ValueError(
+                f"batch_size={batch_size} must be no less than n_ins={n_ins}"
+            )
         self.index_dict = defaultdict(list)
         for i, item in enumerate(data_source):
             self.index_dict[item.label].append(i)
         self.labels = list(self.index_dict.keys())
         self.n_cls = batch_size // n_ins
+        if len(self.labels) < self.n_cls:
+            # loud at construction (samplers.py:146) — otherwise __iter__
+            # silently yields an empty epoch
+            raise ValueError(
+                f"RandomClassSampler needs >= {self.n_cls} classes, "
+                f"dataset has {len(self.labels)}"
+            )
         self.n_ins = n_ins
         self.batch_size = batch_size
         self.rng = random.Random(seed)

@@ -209,6 +209,36 @@ def test_imagenet_and_variants(tmp_path):
         rec.ImageNetV2.read_data = orig
 
 
+def test_sun397_partition_fallback(tmp_path):
+    """SUN397 builds its split from the Partitions.zip layout: ClassName.txt
+    + Training_01/Testing_01.txt live under sun397/ (NOT under SUN397/),
+    images under sun397/SUN397/<letter>/<class>/ (sun397.py:30,90)."""
+    ds_dir = tmp_path / "sun397"
+    classes = ["/a/abbey", "/b/bar", "/b/bedroom", "/c/castle", "/c/church/outdoor"]
+    (ds_dir / "SUN397").mkdir(parents=True)
+    (ds_dir / "ClassName.txt").write_text("\n".join(classes) + "\n")
+    train_lines, test_lines = [], []
+    for cname in classes:
+        for j in range(10):
+            rel = f"{cname}/sun_{j:06d}.jpg"
+            make_jpg(str(ds_dir / "SUN397" / rel[1:]))
+            (train_lines if j < 5 else test_lines).append(rel)
+    (ds_dir / "Training_01.txt").write_text("\n".join(train_lines) + "\n")
+    (ds_dir / "Testing_01.txt").write_text("\n".join(test_lines) + "\n")
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NAME = "SUN397"
+    cfg.SEED = 0
+    cfg.DATASET.NUM_SHOTS = 0
+    ds = build_dataset(cfg)
+    assert ds.num_classes == 5
+    assert len(ds.train_x) + len(ds.val) == 25 and len(ds.test) == 25
+    # multi-level class names reverse the path segments
+    assert "outdoor church" in ds.classnames
+    assert os.path.exists(ds_dir / "split_zhou_SUN397.json")
+
+
 def test_folder_split_fallback(tmp_path):
     """DTD-style plugins build + persist the split json from a bare class-
     per-folder tree when no split file exists."""

@@ -29,6 +29,32 @@ def test_interpret_prompt_on_checkpoint(tmp_path):
     assert "Size of context:" in result.stdout
 
 
+def test_interpret_prompt_deep_layers(tmp_path):
+    """MaPLe/IVLP checkpoints carry per-layer deep text prompts; the tool
+    walks them like the reference (interpret_prompt.py:50-62)."""
+    import pickle
+
+    import numpy as np
+
+    ckpt = tmp_path / "model.pkl-1"
+    state = {
+        "ctx": np.zeros((2, 64), np.float32),
+        "compound_text": np.zeros((3, 2, 64), np.float32),
+    }
+    with open(ckpt, "wb") as f:
+        pickle.dump({"state_dict": state, "epoch": 1}, f)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "interpret_prompt.py"),
+         str(ckpt), "--backbone", "test-tiny", "--topk", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-1500:]
+    assert "== input context ==" in result.stdout
+    assert "== layer 4 context ==" in result.stdout
+
+
 def test_bench_infer_smoke():
     """tools/bench_infer.py (serving-throughput bench) runs on CPU with the
     tiny arch and prints one JSON line per batch size."""

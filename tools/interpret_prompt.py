@@ -36,8 +36,20 @@ def main():
     state = ckpt["state_dict"]
     ctx = np.asarray(state["ctx"])
     if ctx.ndim == 3:  # class-specific: interpret the mean context
+        # (reference raises NotImplementedError here, interpret_prompt.py:80)
         ctx = ctx.mean(axis=0)
     print(f"Size of context: {ctx.shape}")
+
+    # MaPLe/IVLP checkpoints also carry per-layer deep text prompts — the
+    # reference walks prompt_learner.compound_prompts_text.<i>
+    # (interpret_prompt.py:50-62); here they are a stacked (depth-1, n, D)
+    # leaf or a list of per-layer arrays
+    layer_ctx = [("input", ctx)]
+    deep = state.get("compound_text", state.get("text_deep"))
+    if deep is not None:
+        deep = [np.asarray(d) for d in deep] if isinstance(deep, (list, tuple)) \
+            else list(np.asarray(deep))
+        layer_ctx += [(f"layer {i + 2}", d) for i, d in enumerate(deep)]
 
     path = find_clip_weights(args.backbone)
     if path is not None:
@@ -51,12 +63,15 @@ def main():
 
     tok = get_tokenizer()
     # Euclidean distance from each ctx vector to every token embedding
-    for i, vec in enumerate(ctx):
-        dist = np.linalg.norm(token_embedding - vec[None, :], axis=1)
-        idxs = np.argsort(dist)[: args.topk]
-        words = [(tok.decoder.get(int(j), "?"), float(dist[j])) for j in idxs]
-        pretty = ", ".join(f"{w!r} ({d:.3f})" for w, d in words)
-        print(f"ctx[{i}]: {pretty}")
+    for name, vectors in layer_ctx:
+        if len(layer_ctx) > 1:
+            print(f"== {name} context ==")
+        for i, vec in enumerate(np.asarray(vectors)):
+            dist = np.linalg.norm(token_embedding - vec[None, :], axis=1)
+            idxs = np.argsort(dist)[: args.topk]
+            words = [(tok.decoder.get(int(j), "?"), float(dist[j])) for j in idxs]
+            pretty = ", ".join(f"{w!r} ({d:.3f})" for w, d in words)
+            print(f"ctx[{i}]: {pretty}")
 
 
 if __name__ == "__main__":
