@@ -1,0 +1,150 @@
+"""Import reference-trained torch prompt checkpoints into fsvlm params.
+
+The reference saves dassl checkpoints (``model.pth.tar-<E>`` /
+``model-best.pth.tar``: torch pickles of ``{"state_dict", "epoch",
+"optimizer", "scheduler", "val_result"}``, dassl torchtools.py:27-74) whose
+state-dict layout differs per trainer family:
+
+- CoOp / CoCoOp register ONLY the prompt-learner module
+  (trainers/coop.py:431, cocoop.py:304), so keys are learner-relative:
+  ``ctx``, ``meta_net.linear1.weight`` ... plus the ``token_prefix`` /
+  ``token_suffix`` buffers the reference itself deletes on load
+  (coop.py:488-510).
+- MaPLe / IVLP / PromptSRC register the WHOLE CustomCLIP
+  (maple.py:301, independentVL.py:401, promptsrc.py:262): prompt leaves sit
+  under ``prompt_learner.*`` and — for the deep-VPT families — inside the
+  encoders (``image_encoder.VPT``, ``{image_encoder,text_encoder}
+  .transformer.resblocks.{i}.VPT_shallow`` for 1 <= i < depth,
+  clip/model.py:211-221,345-352,386); every frozen-tower tensor in the file
+  is ignored.
+
+Published reference checkpoints (PromptSRC/MaPLe model zoos) therefore
+convert directly: ``tools/import_torch_prompts.py`` wraps this into an
+fsvlm checkpoint that ``--model-dir``/``--eval-only`` loads unchanged.
+"""
+
+import re
+
+import numpy as np
+
+# our trainer model_name (checkpoint subdirectory) per family — identical to
+# the reference's registered names, so directory trees line up too
+MODEL_NAMES = {
+    "CoOp": "prompt_learner",
+    "CoCoOp": "prompt_learner",
+    "MaPLe": "MultiModalPromptLearner",
+    "IVLP": "VLPromptLearner",
+    "PromptSRC": "VLPromptLearner",
+}
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        arr = t
+    else:
+        arr = t.detach().cpu().numpy()
+    # reference checkpoints may carry fp16 leaves (CUDA-era .half() casts)
+    return arr.astype(np.float32)
+
+
+def _strip_module(sd):
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+
+def _stack_vpt(sd, prefix):
+    """Collect resblocks.{i}.VPT_shallow for i>=1 into a (depth-1, n, D)
+    stack ordered by layer index; None when the family has no deep prompts."""
+    found = {}
+    pat = re.compile(re.escape(prefix) + r"\.transformer\.resblocks\.(\d+)\.VPT_shallow$")
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m:
+            found[int(m.group(1))] = _np(v)
+    if not found:
+        return None
+    idxs = sorted(found)
+    if idxs != list(range(1, len(idxs) + 1)):
+        raise ValueError(f"non-contiguous VPT layers under {prefix}: {idxs}")
+    return np.stack([found[i] for i in idxs])
+
+
+def torch_prompt_params(sd, trainer):
+    """Map a reference state dict to the fsvlm trainable pytree for
+    ``trainer``.  Unknown trainer names raise; missing prompt leaves raise
+    (a silent partial import would eval garbage)."""
+    sd = _strip_module(sd)
+    if trainer in ("CoOp", "CoCoOp"):
+        # learner-relative keys; tolerate full-model dumps too
+        pl = {
+            re.sub(r"^prompt_learner\.", "", k): v
+            for k, v in sd.items()
+            if "prompt_learner." in k or "." not in k or k.startswith("meta_net")
+        }
+        if "ctx" not in pl:
+            raise ValueError("no 'ctx' leaf in checkpoint — not a CoOp-family file")
+        params = {"ctx": _np(pl["ctx"])}
+        if trainer == "CoCoOp":
+            params["meta_net"] = {
+                "w1": _np(pl["meta_net.linear1.weight"]).T,
+                "b1": _np(pl["meta_net.linear1.bias"]),
+                "w2": _np(pl["meta_net.linear2.weight"]).T,
+                "b2": _np(pl["meta_net.linear2.bias"]),
+            }
+        return params
+
+    if trainer == "MaPLe":
+        params = {
+            "ctx": _np(sd["prompt_learner.ctx"]),
+            "proj": {
+                "w": _np(sd["prompt_learner.proj.weight"]).T,
+                "b": _np(sd["prompt_learner.proj.bias"]),
+            },
+        }
+        compound = {}
+        pat = re.compile(r"^prompt_learner\.compound_prompts_text\.(\d+)$")
+        for k, v in sd.items():
+            m = pat.match(k)
+            if m:
+                compound[int(m.group(1))] = _np(v)
+        if compound:
+            idxs = sorted(compound)
+            params["compound_text"] = np.stack([compound[i] for i in idxs])
+            ws, bs = [], []
+            for i in idxs:
+                p = f"prompt_learner.compound_prompt_projections.{i}"
+                ws.append(_np(sd[p + ".weight"]).T)
+                bs.append(_np(sd[p + ".bias"]))
+            params["compound_proj"] = {"w": np.stack(ws), "b": np.stack(bs)}
+        return params
+
+    if trainer in ("IVLP", "PromptSRC"):
+        if "prompt_learner.ctx" not in sd:
+            raise ValueError(
+                "no 'prompt_learner.ctx' leaf — not a full-model IVLP/PromptSRC file"
+            )
+        params = {"ctx": _np(sd["prompt_learner.ctx"])}
+        if "image_encoder.VPT" in sd:
+            params["vpt_shallow"] = _np(sd["image_encoder.VPT"])
+        vision_deep = _stack_vpt(sd, "image_encoder")
+        if vision_deep is not None:
+            params["vision_deep"] = vision_deep
+        text_deep = _stack_vpt(sd, "text_encoder")
+        if text_deep is not None:
+            params["text_deep"] = text_deep
+        return params
+
+    raise ValueError(
+        f"unsupported trainer {trainer!r}; importable: {sorted(MODEL_NAMES)}"
+    )
+
+
+def import_torch_checkpoint(path, trainer):
+    """Load a reference ``model.pth.tar-*`` and return
+    ``(params, epoch, val_result)``."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" not in ckpt:
+        raise ValueError(f"{path} is not a dassl checkpoint (no state_dict)")
+    params = torch_prompt_params(ckpt["state_dict"], trainer)
+    return params, int(ckpt.get("epoch", 0)), ckpt.get("val_result")
