@@ -138,6 +138,74 @@ def torch_prompt_params(sd, trainer):
     )
 
 
+def import_lora_checkpoint(path, backbone="ViT-B/16"):
+    """Convert a reference LoRA checkpoint (``best.pt``: ``{"weights":
+    {"layer_{i}": {"q_proj": {"w_lora_A", "w_lora_B"}, ...}}, "metadata"}``,
+    lora.py:467-491) into the fsvlm LoRA payload.
+
+    The reference enumerates layers text-tower-first in ascending block
+    order over INDEX_POSITIONS_TEXT[position], then the vision tower over
+    INDEX_POSITIONS_VISION (lora.py:63-101); factors are loralib-shaped
+    (A: (r, in), B: (out, r), layers.py:100-107) while ours are stacked
+    x-side factors (a = A.T, b = B.T) gated by a per-layer mask.
+    """
+    import torch
+
+    from ..models.clip import ARCHS
+    from .lora import INDEX_POSITIONS_TEXT, INDEX_POSITIONS_VISION
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    meta = loaded["metadata"]
+    weights = loaded["weights"]
+    arch = ARCHS[backbone]
+    r = int(meta["r"])
+    encoder, position = meta["encoder"], meta["position"]
+    name_map = {"q": "q_proj", "k": "k_proj", "v": "v_proj", "o": "proj"}
+
+    towers = []  # (ours_key, layer_indices, n_layers, width)
+    if encoder in ("text", "both"):
+        # the reference intersects the position table with the blocks that
+        # exist (lora.py:68 `if i in indices` over enumerate(resblocks))
+        idxs = [i for i in INDEX_POSITIONS_TEXT[position]
+                if i < arch.transformer_layers]
+        towers.append(("text", idxs, arch.transformer_layers, arch.transformer_width))
+    if encoder in ("vision", "both"):
+        idxs = INDEX_POSITIONS_VISION.get(position) or list(range(arch.vision_layers))
+        idxs = [i for i in idxs if i < arch.vision_layers]
+        towers.append(("vision", idxs, arch.vision_layers, arch.vision_width))
+
+    params = {}
+    flat = 0  # reference's global layer_{i} counter across towers
+    for which, idxs, n_layers, width in towers:
+        factors = {}
+        for p in meta["params"]:
+            a = np.zeros((n_layers, width, r), np.float32)
+            b = np.zeros((n_layers, r, width), np.float32)
+            factors[p] = [a, b]
+        for li in idxs:
+            layer_w = weights[f"layer_{flat}"]
+            for p in meta["params"]:
+                ref = layer_w[name_map[p]]
+                factors[p][0][li] = _np(ref["w_lora_A"]).T
+                factors[p][1][li] = _np(ref["w_lora_B"]).T
+            flat += 1
+        params[which] = {p: tuple(ab) for p, ab in factors.items()}
+
+    payload = {
+        "weights": params,
+        "metadata": {
+            "r": r,
+            "alpha": float(meta["alpha"]),
+            "encoder": encoder,
+            "params": list(meta["params"]),
+            "position": position,
+        },
+        "epoch": int(loaded.get("epoch", 0)),
+        "val_result": loaded.get("val_result"),
+    }
+    return payload
+
+
 def import_torch_checkpoint(path, trainer):
     """Load a reference ``model.pth.tar-*`` and return
     ``(params, epoch, val_result)``."""

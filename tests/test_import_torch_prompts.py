@@ -208,6 +208,100 @@ def test_import_coop_and_cocoop_learner_relative(tmp_path, monkeypatch):
     assert set(params_coop) == {"ctx"}
 
 
+def test_import_lora_checkpoint_full_chain(tmp_path, monkeypatch):
+    """Reference LoRA best.pt ({'weights': {'layer_{i}': {'q_proj':
+    {'w_lora_A','w_lora_B'}, ...}}, 'metadata'}, lora.py:467-491) -> our
+    stacked-factor payload; x-side deltas match and our LoRA trainer loads
+    the imported file through its strict metadata validation."""
+    import torch
+
+    import_reference_trainers()
+    from utils.layers import PlainMultiheadAttentionLoRA
+
+    _no_half_cuda(monkeypatch)
+    torch.manual_seed(41)
+
+    dim, r, alpha = 64, 2, 1
+    lora_layers = []
+    for _ in range(2):  # test-tiny: 2 text layers, position "all"
+        base = torch.nn.MultiheadAttention(dim, 2)
+        layer = PlainMultiheadAttentionLoRA(
+            base, enable_lora=["q", "v"], r=r, lora_alpha=alpha, dropout_rate=0.0
+        )
+        # B inits to zero (delta would be trivially 0) — randomize both
+        for proj in (layer.q_proj, layer.v_proj):
+            torch.nn.init.normal_(proj.w_lora_A, std=0.1)
+            torch.nn.init.normal_(proj.w_lora_B, std=0.1)
+        lora_layers.append(layer)
+
+    weights = {}
+    for i, layer in enumerate(lora_layers):  # make_weight layout (lora.py:495)
+        weights[f"layer_{i}"] = {
+            "q_proj": {
+                "w_lora_A": layer.q_proj.w_lora_A.data,
+                "w_lora_B": layer.q_proj.w_lora_B.data,
+            },
+            "v_proj": {
+                "w_lora_A": layer.v_proj.w_lora_A.data,
+                "w_lora_B": layer.v_proj.w_lora_B.data,
+            },
+        }
+    meta = {"r": r, "alpha": alpha, "encoder": "text",
+            "params": ["q", "v"], "position": "all"}
+    ckpt_path = tmp_path / "best.pt"
+    torch.save({"weights": weights, "metadata": meta}, ckpt_path)
+
+    out_dir = tmp_path / "imported"
+    r_cli = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "import_torch_prompts.py"),
+         str(ckpt_path), "--trainer", "LoRA", "--output-dir", str(out_dir),
+         "--backbone", "test-tiny", "--dataset", "Synthetic"],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r_cli.returncode == 0, r_cli.stderr[-1500:]
+    out_file = out_dir / "Synthetic" / "test-tiny" / "lora" / "best.pkl"
+    assert os.path.exists(out_file)
+
+    # factor mapping: ours are x-side (a = A.T, b = B.T); the reference
+    # merges scaling * B@A into the (out, in) weight (layers.py:121-135) —
+    # x-side that is x @ A.T @ B.T
+    from fsvlm_tpu.trainers.import_torch import import_lora_checkpoint
+
+    payload = import_lora_checkpoint(str(ckpt_path), backbone="test-tiny")
+    assert set(payload["weights"]) == {"text"}
+    for li, layer in enumerate(lora_layers):
+        for ours, theirs in [("q", layer.q_proj), ("v", layer.v_proj)]:
+            a, b = payload["weights"]["text"][ours]
+            A = theirs.w_lora_A.detach().numpy()
+            B = theirs.w_lora_B.detach().numpy()
+            np.testing.assert_array_equal(a[li], A.T)
+            np.testing.assert_array_equal(b[li], B.T)
+            np.testing.assert_allclose(a[li] @ b[li], (B @ A).T, rtol=1e-6)
+
+    # full chain: our LoRA trainer's strict load accepts the imported file
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    cfg = _base_cfg(tmp_path, "LoRA")
+    node = cfg.TRAINER.LORA
+    node.ENCODER = "text"
+    node.POSITION = "all"
+    node.PARAMS = ["q", "v"]
+    node.R = r
+    node.ALPHA = alpha
+    node.PREC = "fp32"
+    cfg.freeze()
+    trainer = build_trainer(cfg)
+    trainer.load_model(str(out_dir))
+    a_loaded, _ = trainer.params["text"]["q"]
+    np.testing.assert_allclose(
+        np.asarray(a_loaded[0]),
+        lora_layers[0].q_proj.w_lora_A.detach().numpy().T,
+        rtol=1e-6,
+    )
+
+
 def test_import_promptsrc_vpt_layer_mapping(tmp_path, monkeypatch):
     """IVLP/PromptSRC full-model checkpoints: prompt_learner.ctx + the
     encoder-resident VPT leaves (image_encoder.VPT first layer,

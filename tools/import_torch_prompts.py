@@ -24,15 +24,40 @@ from fsvlm_tpu.trainers.import_torch import MODEL_NAMES, import_torch_checkpoint
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("checkpoint", help="reference model.pth.tar-<E> file")
-    p.add_argument("--trainer", required=True, choices=sorted(MODEL_NAMES))
+    p.add_argument("checkpoint", help="reference model.pth.tar-<E> / LoRA best.pt file")
+    p.add_argument(
+        "--trainer", required=True, choices=sorted(MODEL_NAMES) + ["LoRA"]
+    )
     p.add_argument("--output-dir", required=True)
     p.add_argument(
         "--best",
         action="store_true",
         help="also write model-best.pkl (what --eval-only loads by default)",
     )
+    p.add_argument("--backbone", default="ViT-B/16",
+                   help="LoRA only: arch whose layer table sizes the stacks")
+    p.add_argument("--dataset", default=None,
+                   help="LoRA only: DATASET.NAME for the output layout "
+                        "<out>/<dataset>/<backbone>/lora/best.pkl")
     args = p.parse_args()
+
+    if args.trainer == "LoRA":
+        import pickle
+
+        from fsvlm_tpu.trainers.import_torch import import_lora_checkpoint
+
+        if not args.dataset:
+            p.error("--dataset is required for --trainer LoRA")
+        payload = import_lora_checkpoint(args.checkpoint, args.backbone)
+        save_dir = os.path.join(
+            args.output_dir, args.dataset, args.backbone.replace("/", "-"), "lora"
+        )
+        os.makedirs(save_dir, exist_ok=True)
+        out = os.path.join(save_dir, "best.pkl")
+        with open(out, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        print(f"Imported LoRA factors ({payload['metadata']}) -> {out}")
+        return
 
     params, epoch, val_result = import_torch_checkpoint(args.checkpoint, args.trainer)
     leaves = {k: getattr(v, "shape", ()) for k, v in params.items()}
