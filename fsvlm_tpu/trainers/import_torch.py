@@ -216,3 +216,76 @@ def import_torch_checkpoint(path, trainer):
         raise ValueError(f"{path} is not a dassl checkpoint (no state_dict)")
     params = torch_prompt_params(ckpt["state_dict"], trainer)
     return params, int(ckpt.get("epoch", 0)), ckpt.get("val_result")
+
+
+def torch_state_dict_from_params(params, trainer):
+    """Inverse of :func:`torch_prompt_params`: fsvlm trainable pytree ->
+    reference-keyed torch state dict (the exact keys the reference's own
+    ``load_model`` strict=False loads, coop.py:488-510 / maple.py:342-367 /
+    promptsrc.py:389-419) — lets an fsvlm-trained prompt be evaluated in
+    the reference stack."""
+    import torch
+
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32))  # noqa: E731
+    if trainer == "CoOp":
+        return {"ctx": t(params["ctx"])}
+    if trainer == "CoCoOp":
+        mn = params["meta_net"]
+        return {
+            "ctx": t(params["ctx"]),
+            "meta_net.linear1.weight": t(np.asarray(mn["w1"]).T),
+            "meta_net.linear1.bias": t(mn["b1"]),
+            "meta_net.linear2.weight": t(np.asarray(mn["w2"]).T),
+            "meta_net.linear2.bias": t(mn["b2"]),
+        }
+    if trainer == "MaPLe":
+        sd = {
+            "prompt_learner.ctx": t(params["ctx"]),
+            "prompt_learner.proj.weight": t(np.asarray(params["proj"]["w"]).T),
+            "prompt_learner.proj.bias": t(params["proj"]["b"]),
+        }
+        for i, (c, w, b) in enumerate(
+            zip(
+                params.get("compound_text", ()),
+                params.get("compound_proj", {}).get("w", ()),
+                params.get("compound_proj", {}).get("b", ()),
+            )
+        ):
+            sd[f"prompt_learner.compound_prompts_text.{i}"] = t(c)
+            sd[f"prompt_learner.compound_prompt_projections.{i}.weight"] = t(
+                np.asarray(w).T
+            )
+            sd[f"prompt_learner.compound_prompt_projections.{i}.bias"] = t(b)
+        return sd
+    if trainer in ("IVLP", "PromptSRC"):
+        sd = {"prompt_learner.ctx": t(params["ctx"])}
+        if "vpt_shallow" in params:
+            sd["image_encoder.VPT"] = t(params["vpt_shallow"])
+        for enc, key in (("image_encoder", "vision_deep"),
+                         ("text_encoder", "text_deep")):
+            for j, v in enumerate(params.get(key, ())):
+                sd[f"{enc}.transformer.resblocks.{j + 1}.VPT_shallow"] = t(v)
+        return sd
+    raise ValueError(
+        f"unsupported trainer {trainer!r}; exportable: {sorted(MODEL_NAMES)}"
+    )
+
+
+def export_torch_checkpoint(ckpt_path, trainer, out_path):
+    """fsvlm checkpoint (model.pkl-*) -> reference model.pth.tar-* file."""
+    import pickle
+
+    import torch
+
+    with open(ckpt_path, "rb") as f:
+        ckpt = pickle.load(f)
+    sd = torch_state_dict_from_params(ckpt["state_dict"], trainer)
+    torch.save(
+        {
+            "state_dict": sd,
+            "epoch": int(ckpt.get("epoch", 0)),
+            "val_result": ckpt.get("val_result"),
+        },
+        out_path,
+    )
+    return sd

@@ -155,6 +155,32 @@ def test_import_maple_full_chain(tmp_path, monkeypatch):
         ref = model(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
 
+    # reverse direction: perturb our params, export to the reference key
+    # layout, load into the reference model exactly like its own load_model
+    # (strict=False, maple.py:342-367), and the reference must now produce
+    # OUR logits
+    import jax
+
+    trainer.params = jax.tree.map(lambda x: x * 1.5, trainer.params)
+    trainer.save_model(6, str(tmp_path / "ours"))
+    our_ckpt = tmp_path / "ours" / "MultiModalPromptLearner" / "model.pkl-7"
+    exported = tmp_path / "exported.pth.tar-7"
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "import_torch_prompts.py"),
+         str(our_ckpt), "--trainer", "MaPLe", "--export", str(exported)],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    sd = torch.load(exported, weights_only=False)["state_dict"]
+    missing = model.load_state_dict(sd, strict=False).unexpected_keys
+    assert not missing, missing
+    ours2 = np.asarray(trainer.model_inference(imgs))
+    with torch.no_grad():
+        ref2 = model(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours2, ref2, rtol=2e-3, atol=2e-4)
+    assert not np.allclose(ours2, ours, atol=1e-3)  # perturbation took effect
+
 
 def test_import_coop_and_cocoop_learner_relative(tmp_path, monkeypatch):
     """CoOp/CoCoOp checkpoints hold the learner-relative state dict

@@ -24,11 +24,17 @@ from fsvlm_tpu.trainers.import_torch import MODEL_NAMES, import_torch_checkpoint
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("checkpoint", help="reference model.pth.tar-<E> / LoRA best.pt file")
+    p.add_argument("checkpoint", help="reference model.pth.tar-<E> / LoRA best.pt file"
+                   " (with --export: an fsvlm model.pkl-<E> file)")
+    p.add_argument(
+        "--export", metavar="OUT.pth.tar",
+        help="reverse direction: convert an fsvlm model.pkl-* checkpoint to "
+             "a reference-keyed torch file its load_model accepts",
+    )
     p.add_argument(
         "--trainer", required=True, choices=sorted(MODEL_NAMES) + ["LoRA"]
     )
-    p.add_argument("--output-dir", required=True)
+    p.add_argument("--output-dir", help="import destination (required unless --export)")
     p.add_argument(
         "--best",
         action="store_true",
@@ -40,6 +46,18 @@ def main():
                    help="LoRA only: DATASET.NAME for the output layout "
                         "<out>/<dataset>/<backbone>/lora/best.pkl")
     args = p.parse_args()
+
+    if args.export:
+        from fsvlm_tpu.trainers.import_torch import export_torch_checkpoint
+
+        if args.trainer == "LoRA":
+            p.error("--export supports the prompt families, not LoRA")
+        sd = export_torch_checkpoint(args.checkpoint, args.trainer, args.export)
+        print(f"Exported {len(sd)} reference-keyed tensors -> {args.export}")
+        return
+
+    if not args.output_dir:
+        p.error("--output-dir is required (unless --export is given)")
 
     if args.trainer == "LoRA":
         import pickle
