@@ -99,6 +99,7 @@ class TrainTransform:
         self.ra_n = cfg.INPUT.RANDAUGMENT_N
         self.ra_m = cfg.INPUT.RANDAUGMENT_M
         self.rgs_p = cfg.INPUT.RGS_P
+        self.crop_padding = cfg.INPUT.CROP_PADDING
         self.cutout_n = cfg.INPUT.CUTOUT_N
         self.cutout_len = cfg.INPUT.CUTOUT_LEN
         self.gn_mean = cfg.INPUT.GN_MEAN
@@ -126,7 +127,7 @@ class TrainTransform:
             i, j, h, w = random_resized_crop_params(rng, img.width, img.height, self.scale)
             img = img.resize((out_w, out_h), self.interp, box=(j, i, j + w, i + h))
         elif "random_crop" in self.choices:
-            img = _pad_and_random_crop(img, (out_h, out_w), 4, rng)
+            img = _pad_and_random_crop(img, (out_h, out_w), self.crop_padding, rng)
         elif not translated and ("center_crop" in self.choices or img.size != (out_w, out_h)):
             img = _resize_center_crop(img, (out_h, out_w), self.interp)
 
@@ -250,6 +251,10 @@ def _pad_and_random_crop(img, size, padding, rng):
 
 
 def _color_jitter(img, cj, rng):
+    """Documented divergence: torchvision ColorJitter shuffles all four ops
+    (incl. hue) into one random order; here hue applies last (PIL has no
+    composable hue enhancer) and uses integer HSV arithmetic.  Brightness/
+    contrast/saturation factors and ranges match torchvision."""
     from PIL import ImageEnhance
 
     b, c, s, h = cj
