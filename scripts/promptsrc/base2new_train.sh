@@ -9,7 +9,7 @@ TRAINER=PromptSRC
 DATASET=$1
 SEED=$2
 
-CFG=vit_b16_c2_ep20_batch4_4+4ctx
+CFG=${CFG:-vit_b16_c2_ep20_batch4_4+4ctx}
 SHOTS=16
 SUB=base
 

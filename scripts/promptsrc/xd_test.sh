@@ -8,7 +8,7 @@ DATA=${3:-${DATA:-~/data}}
 TRAINER=PromptSRC
 DATASET=$1
 SEED=$2
-CFG=vit_b16_c2_ep20_batch4_4+4ctx
+CFG=${CFG:-vit_b16_c2_ep20_batch4_4+4ctx}
 SHOTS=16
 
 DIR=${OUT_ROOT:-output}/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/${DATASET}/seed${SEED}

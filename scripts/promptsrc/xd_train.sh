@@ -8,7 +8,7 @@ cd "$(dirname "$0")/../.."
 DATA=${2:-${DATA:-~/data}}
 TRAINER=PromptSRC
 SEED=$1
-CFG=vit_b16_c2_ep20_batch4_4+4ctx
+CFG=${CFG:-vit_b16_c2_ep20_batch4_4+4ctx}
 SHOTS=16
 
 DIR=${OUT_ROOT:-output}/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED}

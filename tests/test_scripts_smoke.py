@@ -72,6 +72,58 @@ def test_base2new_fewshot_chain(tmp_path):
     assert "SUBSAMPLE_CLASSES: new" in stdout
 
 
+def test_reproduce_base2novel_roundtrip(tmp_path):
+    """The reproduce driver replays a 'published' torch checkpoint: train
+    tiny PromptSRC on the base half, export to the reference checkpoint
+    layout (<weightspath>/base/seed1/VLPromptLearner/model.pth.tar-2), then
+    scripts/promptsrc/reproduce_base2novel_setting.sh imports it and
+    evaluates base + novel (reference reproduce_base2novel_setting.sh)."""
+    out_root = str(tmp_path / "out")
+    env = {
+        "OUT_ROOT": out_root,
+        "CFG": TINY,
+        "LOADEP": "2",
+        "FSVLM_EXTRA_OPTS": (
+            "OPTIM.MAX_EPOCH 2 TRAINER.PROMPTSRC.PREC fp32 "
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_TEXT 2 "
+            "TRAINER.PROMPTSRC.PROMPT_DEPTH_VISION 2"
+        ),
+    }
+    stdout = run_script(
+        "scripts/promptsrc/base2new_train.sh", ["synthetic", "1"], env
+    )
+    assert "Finish training" in stdout
+
+    ckpt = os.path.normpath(os.path.join(
+        out_root, "base2new/train_base/synthetic/shots_16/PromptSRC",
+        TINY, "seed1", "VLPromptLearner", "model.pkl-2",
+    ))
+    assert os.path.exists(ckpt)
+
+    weightspath = tmp_path / "published"
+    torch_dir = weightspath / "base" / "seed1" / "VLPromptLearner"
+    os.makedirs(torch_dir)
+    exported = torch_dir / "model.pth.tar-2"
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    import subprocess as sp
+    import sys
+
+    r = sp.run(
+        [sys.executable, os.path.join(ROOT, "tools", "import_torch_prompts.py"),
+         ckpt, "--trainer", "PromptSRC", "--export", str(exported)],
+        capture_output=True, text=True, timeout=600, env=env_cpu,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    stdout = run_script(
+        "scripts/promptsrc/reproduce_base2novel_setting.sh",
+        ["synthetic", "1", str(weightspath)], env, timeout=1200,
+    )
+    assert stdout.count("=> result") == 2  # base + novel evals
+    assert "SUBSAMPLE_CLASSES: new" in stdout
+    assert "Imported PromptSRC prompt leaves" in stdout
+
+
 def test_lora_main_val(tmp_path):
     """main_val.sh passes the LORA.*_LOSS_WEIGHT opts the reference script
     sets but whose keys the reference config never defines."""
