@@ -17,6 +17,11 @@ ARCH = os.environ.get("BENCH_ARCH", "ViT-B/16")
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 SHOTS = int(os.environ.get("BENCH_SHOTS", "16"))
+# BENCH_TRAINER: any CLIP-path trainer (CoOp / CoCoOp / MaPLe / PromptSRC);
+# BENCH_CLASSES widens the synthetic label space (CoCoOp cost is
+# B x n_cls text forwards, so 8 classes would flatter it)
+TRAINER = os.environ.get("BENCH_TRAINER", "PromptSRC")
+N_CLASSES = int(os.environ.get("BENCH_CLASSES", "0"))
 
 
 def main():
@@ -41,9 +46,14 @@ def main():
     cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
     cfg.MODEL.BACKBONE.NAME = ARCH
     cfg.MODEL.BACKBONE.PRETRAINED = False
+    if N_CLASSES > 0:
+        from fsvlm_tpu.data.datasets.synthetic import Synthetic
+
+        Synthetic.NUM_CLASSES = N_CLASSES
     cfg.MODEL.FROZEN_DTYPE = os.environ.get("BENCH_FROZEN_DTYPE", "fp32")
-    cfg.TRAINER.NAME = "PromptSRC"
-    cfg.TRAINER.PROMPTSRC.PREC = "bf16" if jax.default_backend() != "cpu" else "fp32"
+    cfg.TRAINER.NAME = TRAINER
+    node = cfg.TRAINER[TRAINER.upper()]
+    node.PREC = "bf16" if jax.default_backend() != "cpu" else "fp32"
     # BENCH_CACHED_TEACHER=1 measures the shipped fast-SCL config
     # (TRAINER.PROMPTSRC.CACHED_TEACHER: per-epoch teacher features)
     cfg.TRAINER.PROMPTSRC.CACHED_TEACHER = (
@@ -84,7 +94,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"PromptSRC {ARCH} end-to-end train loop (input+aug+step)"
+                "metric": f"{TRAINER} {ARCH} end-to-end train loop (input+aug+step)"
                 + (", cached teacher" if cfg.TRAINER.PROMPTSRC.CACHED_TEACHER else ""),
                 "value": round(imgs / dt, 2),
                 "unit": "images/sec/chip",
