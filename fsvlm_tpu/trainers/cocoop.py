@@ -86,6 +86,10 @@ class CoCoOp(SimpleTrainer):
         use_focal = bool(node.USE_FOCAL_LOSS)
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
+        # TRAIN.REMAT matters here more than anywhere: the fully-batched
+        # path differentiates B*n_cls text forwards in one graph (measured:
+        # bs 32 x 100 classes overruns a v5e chip's HBM without it)
+        remat = bool(cfg.TRAIN.REMAT)
 
         n_cls = len(classnames)
 
@@ -113,6 +117,7 @@ class CoCoOp(SimpleTrainer):
                         prompts,
                         frozen["eot_idx"],
                         compute_dtype=dtype,
+                        remat=remat,
                     ),
                     axis=-1,
                 )
@@ -141,6 +146,7 @@ class CoCoOp(SimpleTrainer):
                 prompts.reshape(B * C, L, D),
                 jnp.tile(frozen["eot_idx"], B),
                 compute_dtype=dtype,
+                remat=remat,
             ).reshape(B, C, -1)
             return l2_normalize(txf, axis=-1)
 

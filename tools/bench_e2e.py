@@ -71,6 +71,7 @@ def main():
     # per epoch instead of a host-stacked schedule (BENCH_DEVICE_SCHEDULE=off
     # reproduces the round-2 host-schedule path)
     cfg.TRAIN.DEVICE_SCHEDULE = os.environ.get("BENCH_DEVICE_SCHEDULE", "on") != "off"
+    cfg.TRAIN.REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
     cfg.freeze()
 
     trainer = build_trainer(cfg)
