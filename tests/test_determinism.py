@@ -32,13 +32,25 @@ def test_two_runs_bit_identical(tmp_path, device_aug):
         np.testing.assert_array_equal(a, b)
 
 
-def test_remat_matches_no_remat(tmp_path):
+@pytest.mark.parametrize(
+    "trainer_overrides",
+    [
+        {
+            "TRAINER.NAME": "IVLP",
+            "TRAINER.IVLP.PREC": "fp32",
+            "TRAINER.IVLP.USE_KD": False,
+            "TRAINER.IVLP.USE_MIXUP": False,
+        },
+        # CoCoOp differentiates B*n_cls text forwards in one graph — the
+        # path where REMAT is load-bearing for HBM (trainers/cocoop.py)
+        {"TRAINER.NAME": "CoCoOp", "TRAINER.COCOOP.PREC": "fp32"},
+    ],
+    ids=["ivlp", "cocoop"],
+)
+def test_remat_matches_no_remat(tmp_path, trainer_overrides):
     """TRAIN.REMAT must not change results, only memory/time."""
     base = {
-        "TRAINER.NAME": "IVLP",
-        "TRAINER.IVLP.PREC": "fp32",
-        "TRAINER.IVLP.USE_KD": False,
-        "TRAINER.IVLP.USE_MIXUP": False,
+        **trainer_overrides,
         "OPTIM.MAX_EPOCH": 2,
         "TEST.NO_TEST": True,
     }
