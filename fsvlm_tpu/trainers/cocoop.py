@@ -23,6 +23,13 @@ from .losses import cross_entropy, focal_alpha_from_shots, focal_loss, masked_ac
 from .prompts import build_prompt_context
 
 
+# Above this batch*n_cls product the train/eval forward switches from the
+# fully-batched text pass to the bounded-memory lax.map formulation (one
+# image's n_cls text forwards live at a time).  Module-level so tests can
+# force the lax.map branch at tiny scale.
+BATCHED_TEXT_LIMIT = 4096
+
+
 def _init_linear(rng, fan_in, fan_out):
     """torch nn.Linear default init (kaiming uniform, a=sqrt(5))."""
     bound = 1.0 / np.sqrt(fan_in)
@@ -124,7 +131,7 @@ class CoCoOp(SimpleTrainer):
                 return scale * txf @ imf_i
 
             B = images.shape[0]
-            if B * n_cls <= 4096:
+            if B * n_cls <= BATCHED_TEXT_LIMIT:
                 # fully batched: one flattened pass through the text tower
                 return scale * jnp.einsum(
                     "be,bce->bc", imf, _batched_text_features(params, frozen, ctx)

@@ -60,3 +60,39 @@ def test_chunked_matches_batched(tmp_path, monkeypatch):
 
     chunked = np.asarray(jax.lax.map(one, (ctx, imf)))
     np.testing.assert_allclose(chunked, batched, rtol=2e-4, atol=1e-4)
+
+
+def test_lax_map_branch_trains_like_batched(tmp_path, monkeypatch):
+    """Drive the trainer's ACTUAL lax.map branch (B*n_cls > BATCHED_TEXT_LIMIT),
+    including differentiation through lax.map, and compare the full 2-epoch
+    trajectory + eval logits against the fully-batched formulation."""
+    import jax
+    import fsvlm_tpu.trainers.cocoop as cocoop_mod
+
+    overrides = {
+        "TRAINER.NAME": "CoCoOp",
+        "TRAINER.COCOOP.N_CTX": 2,
+        "TRAINER.COCOOP.PREC": "fp32",
+        "TEST.NO_TEST": True,
+        "OPTIM.MAX_EPOCH": 2,
+    }
+
+    def run(out, limit):
+        monkeypatch.setattr(cocoop_mod, "BATCHED_TEXT_LIMIT", limit)
+        cfg = make_cfg(out, **overrides)
+        cfg.freeze()
+        t = build_trainer(cfg)
+        t.train()
+        batch = next(iter(t.test_loader))
+        imgs = t.parse_batch_test(batch)["img"]
+        logits = np.asarray(t.model_inference(imgs))
+        params = jax.tree.map(np.asarray, t.params)
+        return params, logits
+
+    p_batched, l_batched = run(tmp_path / "batched", 4096)
+    p_map, l_map = run(tmp_path / "map", 1)  # bs 16 x 8 cls = 128 > 1
+
+    for a, b in zip(jax.tree.leaves(p_batched), jax.tree.leaves(p_map)):
+        # lax.map reorders float reductions vs the flattened batched pass
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(l_map, l_batched, rtol=5e-3, atol=1e-3)
