@@ -105,6 +105,10 @@ def get_cfg_default():
     # frozen-tower storage dtype: fp32 (the fork's behavior) or bf16
     # (upstream CLIP ships fp16 weights; bf16 halves weight HBM reads)
     _C.MODEL.FROZEN_DTYPE = "fp32"
+    # TPU extension: serve the frozen image tower's GEMMs in int8 (W8A8,
+    # MXU int8 = 2x bf16 peak).  Serving/no-grad paths only (ZeroshotCLIP,
+    # trainer.test()); see fsvlm_tpu/ops/quant.py
+    _C.MODEL.QUANT_INT8 = False
     _C.MODEL.HEAD = CN()
     _C.MODEL.HEAD.NAME = ""
     _C.MODEL.HEAD.HIDDEN_LAYERS = ()

@@ -41,7 +41,9 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
     B, L, D = x.shape
     head_dim = D // n_heads
 
-    qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)  # (B, L, 3D)
+    from .layers import linear as _linear
+
+    qkv = _linear(x, w_qkv, b_qkv)  # (B, L, 3D); int8 path when quantized
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def lora_input(name):
@@ -89,7 +91,7 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
         out = attention_dispatch(split_heads(q), split_heads(k), split_heads(v), mask)
         ctx = out.transpose(0, 2, 1, 3).reshape(B, L, D)
 
-    out = ctx @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
+    out = _linear(ctx, w_out, b_out)
     if lora_delta is not None and "o" in lora_delta:
         # o-LoRA takes the attention context (pre-out-proj) as input, matching
         # the reference's separately wrapped proj Linear

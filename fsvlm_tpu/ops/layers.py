@@ -87,12 +87,20 @@ quick_gelu.defvjp(_quick_gelu_fwd, _quick_gelu_bwd)
 def linear(x, w, b=None):
     """y = x @ w + b with weights stored (in_features, out_features).
 
+    ``w`` may be an int8 quantization record ({"q8", "scale"}, produced by
+    ops.quant.quantize_weight) — the serving path stores the frozen tower
+    GEMMs that way and dispatches to the W8A8 MXU kernel here.
+
     FSVLM_LINEAR_2D=1 flattens (B, L, D) @ (D, F) into one (B·L, D) GEMM
     before the dot (layout experiment: the TPU backend was observed
     lowering the rank-3 dot through the batch-in-sublanes convolution
     emitter; an explicit collapse forces the plain large-M GEMM path)."""
     import os
 
+    if isinstance(w, dict):
+        from .quant import int8_linear
+
+        return int8_linear(x, w, b)
     if os.environ.get("FSVLM_LINEAR_2D") == "1" and x.ndim > 2:
         shape = x.shape
         y = (x.reshape(-1, shape[-1]) @ w.astype(x.dtype)).reshape(

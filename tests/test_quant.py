@@ -1,0 +1,137 @@
+"""Int8 serving quantization (ops/quant.py).
+
+The reference serves fp16/fp32 torch (PromptSRC/trainers/zsclip.py:28-54);
+the int8 W8A8 path is a TPU-native serving extension.  These tests pin:
+  * the quantized GEMM against the fp linear (elementwise tolerance),
+  * feature agreement of the quantized ViT tower at tiny and real widths,
+  * the ZeroshotCLIP serving path under MODEL.QUANT_INT8 (top-1 agreement),
+  * that the ResNet tower is left untouched (documented no-op).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fsvlm_tpu.models.clip import ARCHS, encode_image
+from fsvlm_tpu.models.clip.convert import random_clip_params
+from fsvlm_tpu.ops.layers import linear
+from fsvlm_tpu.ops.quant import (
+    int8_linear,
+    is_quantized,
+    quantize_blocks,
+    quantize_clip_params,
+    quantize_weight,
+)
+
+
+def test_int8_linear_close_to_fp():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 9, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 96).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(96).astype(np.float32) * 0.1)
+
+    wq = quantize_weight(w)
+    assert wq["q8"].dtype == jnp.int8 and wq["scale"].shape == (96,)
+
+    y_fp = x @ w + b
+    y_q = int8_linear(x, wq, b)
+    # symmetric per-channel W8 + per-token A8: ~1% relative error expected
+    rel = jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp)
+    assert float(rel) < 0.02, float(rel)
+
+    # the generic linear() dispatches on the quantization record
+    np.testing.assert_array_equal(np.asarray(linear(x, wq, b)),
+                                  np.asarray(y_q))
+
+
+def test_quantize_weight_stacked_layers():
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(3, 32, 48).astype(np.float32))
+    wq = quantize_weight(w)
+    assert wq["q8"].shape == (3, 32, 48) and wq["scale"].shape == (3, 48)
+    # per-layer slices must equal quantizing each layer independently
+    one = quantize_weight(w[1])
+    np.testing.assert_array_equal(np.asarray(wq["q8"][1]), np.asarray(one["q8"]))
+    np.testing.assert_allclose(np.asarray(wq["scale"][1]), np.asarray(one["scale"]))
+
+
+@pytest.mark.parametrize("arch", ["test-tiny", "ViT-B/16"])
+def test_quantized_vit_features_agree(arch):
+    cfg = ARCHS[arch]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=0))
+    qparams = quantize_clip_params(params, towers=("visual",))
+    assert is_quantized(qparams["visual"]["blocks"]["attn"]["w_qkv"])
+    # text tower untouched
+    assert not isinstance(qparams["text"]["blocks"]["attn"]["w_qkv"], dict)
+
+    res = 32 if arch == "test-tiny" else cfg.image_resolution
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randn(2, res, res, 3).astype(np.float32) * 0.5)
+
+    f_fp = encode_image(params, cfg, imgs)
+    f_q = encode_image(qparams, cfg, imgs)
+    cos = jnp.sum(
+        f_fp * f_q, axis=-1
+    ) / (jnp.linalg.norm(f_fp, axis=-1) * jnp.linalg.norm(f_q, axis=-1))
+    assert float(jnp.min(cos)) > 0.99, np.asarray(cos)
+
+
+def test_quantized_blocks_scan_jit():
+    """The quantized stacked pytree must flow through jit + lax.scan."""
+    cfg = ARCHS["test-tiny"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=3))
+    qb = quantize_blocks(params["visual"]["blocks"])
+    from fsvlm_tpu.models.clip.transformer import transformer
+
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 5, cfg.vision_width),
+                    dtype=jnp.float32)
+    out = jax.jit(
+        lambda b, x: transformer(b, x, n_heads=cfg.vision_heads)
+    )(qb, x)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_resnet_tower_quantization_is_noop():
+    cfg = ARCHS["test-tiny-rn"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=5))
+    qparams = quantize_clip_params(params, towers=("visual",))
+    flat_a = jax.tree_util.tree_leaves(params["visual"])
+    flat_b = jax.tree_util.tree_leaves(qparams["visual"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zsclip_serving_int8_top1_agreement(tmp_path):
+    """ZeroshotCLIP under MODEL.QUANT_INT8: logits close, top-1 agrees."""
+    from fsvlm_tpu.config import get_cfg_default
+
+    def build(quant):
+        cfg = get_cfg_default()
+        cfg.MODEL.BACKBONE.NAME = "test-tiny"
+        cfg.MODEL.BACKBONE.PRETRAINED = False
+        cfg.MODEL.QUANT_INT8 = quant
+        cfg.DATASET.NAME = "Synthetic"
+        return cfg
+
+    from fsvlm_tpu.models.clip import encode_text_ids, l2_normalize
+    from fsvlm_tpu.models.clip.tokenizer import tokenize
+
+    cfg = ARCHS["test-tiny"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=0))
+    ids = tokenize([f"a photo of a thing {i}." for i in range(7)])
+    txf = l2_normalize(encode_text_ids(params, cfg, ids))
+
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32) * 0.5)
+
+    def logits(p):
+        imf = l2_normalize(encode_image(p, cfg, imgs))
+        return imf @ txf.T
+
+    l_fp = logits(params)
+    l_q = logits(quantize_clip_params(params, towers=("visual",)))
+    agree = np.mean(
+        np.argmax(np.asarray(l_fp), -1) == np.argmax(np.asarray(l_q), -1))
+    assert agree >= 14 / 16, agree

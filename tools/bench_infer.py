@@ -33,6 +33,7 @@ BATCHES = [int(b) for b in os.environ.get("INFER_BATCHES", "64,128,256").split("
 STEPS = int(os.environ.get("INFER_STEPS", "20"))
 INNER = int(os.environ.get("INFER_INNER", "10"))
 BF16 = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
+INT8 = os.environ.get("BENCH_INT8", "0") == "1"  # W8A8 image tower (ops/quant.py)
 
 
 def main():
@@ -66,6 +67,11 @@ def main():
     ids = tokenize([f"a photo of a class {i}." for i in range(N_CLASSES)])
     txf = l2_normalize(encode_text_ids(params, clip_cfg, ids, compute_dtype=dtype))
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
+
+    if INT8:
+        from fsvlm_tpu.ops.quant import quantize_clip_params
+
+        params = quantize_clip_params(params, towers=("visual",))
 
     res = clip_cfg.image_resolution
 
@@ -109,7 +115,8 @@ def main():
             print(
                 json.dumps(
                     {
-                        "metric": f"zero-shot {ARCH} serving throughput (one chip)",
+                        "metric": f"zero-shot {ARCH} serving throughput (one chip)"
+                        + (" [int8]" if INT8 else ""),
                         "batch": B,
                         "classes": N_CLASSES,
                         "value": round(img_s, 1),
