@@ -34,6 +34,9 @@ BF16_TOWERS = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 N_CLASSES = int(os.environ.get("BENCH_CLASSES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "240"))
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# W8A8 int8 frozen teacher (TRAINER.PROMPTSRC.INT8_TEACHER equivalent):
+# reference semantics (teacher sees the augmented batch) at int8 precision
+INT8_TEACHER = os.environ.get("BENCH_INT8_TEACHER", "0") == "1"
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
 
@@ -120,6 +123,13 @@ def main():
     tx = optax.sgd(0.0025, momentum=0.9)
     opt_state = tx.init(learnable)
 
+    if INT8_TEACHER:
+        from fsvlm_tpu.models.clip import encode_image
+        from fsvlm_tpu.ops.quant import quantize_clip_params
+
+        frozen["clip_teacher"] = quantize_clip_params(
+            frozen["clip"], towers=("visual",))
+
     def loss_fn(learnable, frozen, images, labels):
         scale = jnp.exp(frozen["clip"]["logit_scale"])
         txf = l2_normalize(vlp_text_features(learnable, frozen, clip_cfg, dtype, remat=REMAT))
@@ -127,9 +137,15 @@ def main():
             vlp_image_features(learnable, frozen, clip_cfg, images, dtype, remat=REMAT)
         )
         logits = scale * imf @ txf.T
-        zs_img = jax.lax.stop_gradient(
-            l2_normalize(vlp_image_features({}, frozen, clip_cfg, images, dtype))
-        )
+        if INT8_TEACHER:
+            zs_img = jax.lax.stop_gradient(
+                l2_normalize(encode_image(
+                    frozen["clip_teacher"], clip_cfg, images, compute_dtype=dtype))
+            )
+        else:
+            zs_img = jax.lax.stop_gradient(
+                l2_normalize(vlp_image_features({}, frozen, clip_cfg, images, dtype))
+            )
         zs_logits = scale * zs_img @ frozen["zs_text"].T
         s = jax.nn.log_softmax(logits, axis=1)
         t = jax.nn.log_softmax(zs_logits, axis=1)

@@ -225,6 +225,11 @@ def get_cfg_default():
     # deliberately differ from the reference (teacher sees the clean image);
     # off by default.
     _C.TRAINER.PROMPTSRC.CACHED_TEACHER = False
+    # TPU extension: run the per-step frozen teacher image tower in int8
+    # (W8A8 on the MXU, ops/quant.py) — keeps the reference's
+    # teacher-sees-the-augmented-batch semantics (unlike CACHED_TEACHER)
+    # at reduced teacher precision.  Safe: the teacher is stop-gradient.
+    _C.TRAINER.PROMPTSRC.INT8_TEACHER = False
 
     _C.TRAINER.IVLP = CN()
     _C.TRAINER.IVLP.N_CTX_VISION = 2

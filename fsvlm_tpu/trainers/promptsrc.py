@@ -63,6 +63,16 @@ class PromptSRC(IVLP):
         if cached_teacher:
             self.frozen["zs_img_cache"] = self._build_teacher_cache(clip_params, clip_cfg)
 
+        int8_teacher = bool(node.get("INT8_TEACHER", False)) and not cached_teacher
+        if int8_teacher:
+            # int8 copy of the frozen visual tower for the stop-gradient
+            # teacher pass only (float leaves are shared; ops/quant.py)
+            from ..ops.quant import quantize_clip_params
+
+            print("[PromptSRC] int8 teacher image tower (INT8_TEACHER)")
+            self.frozen["clip_teacher"] = quantize_clip_params(
+                clip_params, towers=("visual",))
+
         self.loss_type = node.LOSS_TYPE
         alpha = None
         if self.loss_type == "focal" and len(cfg.DATASET.PER_CLASS_SHOTS) > 0:
@@ -92,6 +102,16 @@ class PromptSRC(IVLP):
             if cached_teacher:
                 # "fast SCL": precomputed clean-image teacher features
                 zs_img = frozen["zs_img_cache"][batch["index"]]
+            elif int8_teacher:
+                # reference semantics (augmented batch) at int8 teacher
+                # precision; the tower is quantized once at build
+                from ..models.clip import encode_image
+
+                zs_img = jax.lax.stop_gradient(
+                    l2_normalize(encode_image(
+                        frozen["clip_teacher"], clip_cfg_, images,
+                        compute_dtype=dtype))
+                )
             else:
                 # frozen-CLIP teacher pass on the augmented batch (reference
                 # semantics, promptsrc.py:198-201)
