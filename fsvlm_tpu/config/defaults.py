@@ -246,6 +246,8 @@ def get_cfg_default():
     _C.TRAINER.IVLP.KD_TEACHER_MODEL = "resnet50"
     _C.TRAINER.IVLP.KD_ALPHA = 1.0
     _C.TRAINER.IVLP.KD_T = 4.0
+    # TPU extension: int8 KD teacher tower (see PROMPTSRC.INT8_TEACHER)
+    _C.TRAINER.IVLP.INT8_TEACHER = False
 
     _C.TRAINER.LINEAR_PROBE = CN()
     _C.TRAINER.LINEAR_PROBE.LOSS_TYPE = "ce"

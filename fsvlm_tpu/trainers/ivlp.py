@@ -92,6 +92,16 @@ class IVLP(SimpleTrainer):
             teacher_txt = encode_text_ids(clip_params, clip_cfg, ids)
             self.frozen["teacher_text"] = l2_normalize(teacher_txt)
 
+        int8_teacher = self.use_kd and bool(node.get("INT8_TEACHER", False))
+        if int8_teacher:
+            # int8 copy of the frozen visual tower for the stop-gradient KD
+            # teacher pass (TPU extension; float leaves shared, ops/quant.py)
+            from ..ops.quant import quantize_clip_params
+
+            print("[IVLP] int8 KD teacher image tower (INT8_TEACHER)")
+            self.frozen["clip_teacher"] = quantize_clip_params(
+                clip_params, towers=("visual",))
+
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg
         remat = bool(cfg.TRAIN.REMAT)
@@ -133,7 +143,14 @@ class IVLP(SimpleTrainer):
                 loss = hard_loss(logits, labels, frozen, valid)
 
             if use_kd:
-                zs_img = vlp_image_features({}, frozen, clip_cfg_, images, dtype)
+                if int8_teacher:
+                    from ..models.clip import encode_image
+
+                    zs_img = encode_image(
+                        frozen["clip_teacher"], clip_cfg_, images,
+                        compute_dtype=dtype)
+                else:
+                    zs_img = vlp_image_features({}, frozen, clip_cfg_, images, dtype)
                 teacher_logits = (
                     jnp.exp(frozen["clip"]["logit_scale"])
                     * l2_normalize(zs_img)

@@ -61,3 +61,22 @@ def test_int8_teacher_trains_and_tracks_fp(tmp_path):
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in flat)
 
     t.train()  # full loop end to end
+
+
+def test_ivlp_kd_int8_teacher_smoke(tmp_path):
+    cfg = ivlp_cfg(
+        tmp_path,
+        trainer="IVLP",
+        **{
+            "TRAINER.IVLP.USE_KD": True,
+            "TRAINER.IVLP.KD_ALPHA": 0.7,
+            "TRAINER.IVLP.USE_MIXUP": False,
+            "TRAINER.IVLP.INT8_TEACHER": True,
+            "OPTIM.MAX_EPOCH": 2,
+            "TEST.NO_TEST": True,
+        },
+    )
+    cfg.freeze()
+    t = build_trainer(cfg)
+    assert "clip_teacher" in t.frozen
+    t.train()
