@@ -103,6 +103,28 @@ def test_resnet_tower_quantization_is_noop():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_int8_serving_shards_over_mesh():
+    """The int8 forward composes with SPMD: batch sharded over the 8-device
+    mesh, quantized params replicated, predictions match single-device."""
+    from fsvlm_tpu.parallel.mesh import data_sharded, get_mesh, replicated
+
+    cfg = ARCHS["test-tiny"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=7))
+    qparams = quantize_clip_params(params, towers=("visual",))
+    rng = np.random.RandomState(8)
+    imgs = rng.randn(16, 32, 32, 3).astype(np.float32) * 0.5
+
+    f_single = np.asarray(encode_image(qparams, cfg, jnp.asarray(imgs)))
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    qp = jax.device_put(qparams, replicated(mesh))
+    xb = jax.device_put(jnp.asarray(imgs), data_sharded(mesh))
+    f_mesh = np.asarray(
+        jax.jit(lambda p, x: encode_image(p, cfg, x))(qp, xb))
+    np.testing.assert_allclose(f_mesh, f_single, rtol=2e-5, atol=2e-5)
+
+
 def test_zsclip_serving_int8_top1_agreement(tmp_path):
     """ZeroshotCLIP under MODEL.QUANT_INT8: logits close, top-1 agrees."""
     from fsvlm_tpu.config import get_cfg_default
