@@ -116,3 +116,39 @@ def test_saved_goldens_replay():
         pytest.skip("FSVLM_GOLDENS not set")
     goldens = dict(np.load(path, allow_pickle=False))
     replay(goldens, atol_feat=2e-4)
+
+
+@pytest.mark.parametrize("backbone", ["ViT-B/16", "ViT-B/32"])
+def test_real_weights_int8_serving_agreement(backbone):
+    """Int8 serving accuracy gate (MODEL.QUANT_INT8): the day real OpenAI
+    weights appear, measure int8-vs-fp32 top-1 agreement and feature cosine
+    on the golden images.  Skipped until weights exist (like the replay)."""
+    from fsvlm_tpu.trainers.backbone import find_clip_weights
+    from make_goldens import build_goldens
+
+    if find_clip_weights(backbone) is None:
+        pytest.skip(f"no {backbone} checkpoint on disk")
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.clip import encode_image
+    from fsvlm_tpu.models.clip.convert import load_openai_checkpoint
+    from fsvlm_tpu.ops.quant import quantize_clip_params
+
+    goldens = build_goldens(backbone, n_images=8)
+    params, cfg = load_openai_checkpoint(str(goldens["weights_path"]))
+    qparams = quantize_clip_params(params, towers=("visual",))
+
+    images = jnp.asarray(goldens["images"])
+    f_fp = np.asarray(encode_image(params, cfg, images))
+    f_q = np.asarray(encode_image(qparams, cfg, images))
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    cos = (norm(f_fp) * norm(f_q)).sum(-1)
+    assert cos.min() > 0.995, cos
+
+    txf = norm(np.asarray(goldens["text_features"]))
+    top1_fp = (norm(f_fp) @ txf.T).argmax(1)
+    top1_q = (norm(f_q) @ txf.T).argmax(1)
+    assert (top1_fp == top1_q).mean() >= 7 / 8
