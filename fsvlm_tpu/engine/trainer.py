@@ -617,8 +617,29 @@ class SimpleTrainer:
         return result
 
     # ------------------------------------------------------------------- test
+    def _get_frozen_eval(self):
+        """Frozen pytree for eval/serving.  Under MODEL.QUANT_INT8 the frozen
+        CLIP visual tower is swapped for its int8 copy (ops/quant.py) — a
+        serving-precision choice only; training always sees the fp tower.
+        Built lazily on first eval so every CLIP-path trainer (zero-shot or
+        trained prompts) serves int8 uniformly; trainers without a frozen
+        CLIP (the DA/DG/SSL zoo) are untouched."""
+        if getattr(self, "_frozen_eval", None) is not None:
+            return self._frozen_eval
+        fe = self.frozen
+        if getattr(self.cfg.MODEL, "QUANT_INT8", False) and isinstance(fe, dict):
+            clip = fe.get("clip")
+            if (isinstance(clip, dict) and isinstance(clip.get("visual"), dict)
+                    and "blocks" in clip["visual"]):
+                from ..ops.quant import quantize_clip_params
+
+                print("[eval] int8 image tower (MODEL.QUANT_INT8)")
+                fe = dict(fe, clip=quantize_clip_params(clip, towers=("visual",)))
+        self._frozen_eval = fe
+        return fe
+
     def model_inference(self, images):
-        return self._eval_step(self.params, self.frozen, images)
+        return self._eval_step(self.params, self._get_frozen_eval(), images)
 
     def parse_batch_test(self, batch):
         return shard_batch(batch, self.mesh)
@@ -647,7 +668,8 @@ class SimpleTrainer:
             if cached_txf is not None:
                 logits = np.asarray(
                     self._eval_with_txf(
-                        self.params, self.frozen, device_batch["img"], cached_txf
+                        self.params, self._get_frozen_eval(),
+                        device_batch["img"], cached_txf
                     )
                 )
             else:

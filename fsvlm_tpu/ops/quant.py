@@ -86,7 +86,8 @@ def quantize_blocks(blocks):
     """
     out = _deepcopy_dicts(blocks)
     for group, name in _TOWER_GEMMS:
-        out[group][name] = quantize_weight(blocks[group][name])
+        if not is_quantized(blocks[group][name]):  # idempotent
+            out[group][name] = quantize_weight(blocks[group][name])
     return out
 
 

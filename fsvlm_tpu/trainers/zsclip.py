@@ -48,14 +48,9 @@ class ZeroshotCLIP(SimpleTrainer):
             mean_feats = mean_feats + l2_normalize(feats)
         text_features = l2_normalize(mean_feats / len(templates))
 
-        if getattr(cfg.MODEL, "QUANT_INT8", False):
-            # serving-only W8A8: text features above were computed once in
-            # full precision; the per-request image tower runs int8 GEMMs
-            from ..ops.quant import quantize_clip_params
-
-            print("Quantizing frozen image tower to int8 (MODEL.QUANT_INT8)")
-            clip_params = quantize_clip_params(clip_params, towers=("visual",))
-
+        # MODEL.QUANT_INT8 serving is applied uniformly by the engine's
+        # eval path (SimpleTrainer._get_frozen_eval), not here — text
+        # features above are always computed in full precision.
         self.params = {}
         self.frozen = {"clip": clip_params, "text_features": text_features}
         clip_cfg_ = clip_cfg

@@ -103,6 +103,32 @@ def test_resnet_tower_quantization_is_noop():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trained_coop_serves_int8_at_eval(tmp_path):
+    """MODEL.QUANT_INT8 is an engine-level eval hook: a TRAINED prompt
+    trainer (CoOp) serves its checkpoint through the int8 tower, and the
+    accuracy matches the fp32 eval on the same params."""
+    from test_coop_end2end import make_cfg
+
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    cfg = make_cfg(tmp_path, **{"OPTIM.MAX_EPOCH": 8, "OPTIM.LR": 2.0,
+                                "TEST.NO_TEST": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+
+    acc_fp = t.test()
+    # flip to int8 serving on the same live trainer
+    t.cfg.defrost()
+    t.cfg.MODEL.QUANT_INT8 = True
+    t.cfg.freeze()
+    t._frozen_eval = None  # rebuild the eval pytree
+    acc_q = t.test()
+    assert is_quantized(t._frozen_eval["clip"]["visual"]["blocks"]["attn"]["w_qkv"])
+    assert abs(acc_q - acc_fp) <= 10.0, (acc_fp, acc_q)
+
+
 def test_int8_serving_shards_over_mesh():
     """The int8 forward composes with SPMD: batch sharded over the 8-device
     mesh, quantized params replicated, predictions match single-device."""
