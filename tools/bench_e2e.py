@@ -59,6 +59,11 @@ def main():
     cfg.TRAINER.PROMPTSRC.CACHED_TEACHER = (
         os.environ.get("BENCH_CACHED_TEACHER", "0") == "1"
     )
+    # BENCH_INT8_TEACHER=1 measures the W8A8 frozen-teacher config
+    # (TRAINER.PROMPTSRC.INT8_TEACHER: int8 GEMMs for the zero-shot tower)
+    cfg.TRAINER.PROMPTSRC.INT8_TEACHER = (
+        os.environ.get("BENCH_INT8_TEACHER", "0") == "1"
+    )
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = BATCH
     cfg.DATALOADER.TEST.BATCH_SIZE = BATCH
     cfg.DATALOADER.DEVICE_AUG = True
