@@ -78,15 +78,20 @@ def int8_linear(x, wq, b=None):
     return y
 
 
-def quantize_blocks(blocks):
-    """Quantize the four GEMM weights of a stacked tower block pytree.
+def quantize_blocks(blocks, families=("attn", "mlp")):
+    """Quantize the GEMM weights of a stacked tower block pytree.
 
     Input: the ``blocks`` pytree fed to ``transformer()`` (leaves stacked on
     a leading n_layers axis).  LayerNorm params and biases stay float.
+    ``families`` selects which GEMM groups to quantize: ``("attn", "mlp")``
+    is full W8A8; ``("mlp",)`` quantizes only the two wide MLP GEMMs (2/3
+    of tower FLOPs at the best compute-to-quant-overhead ratio) and keeps
+    QKV/out-proj in float — the dynamic activation quantization runs half
+    as often per layer.
     """
     out = _deepcopy_dicts(blocks)
     for group, name in _TOWER_GEMMS:
-        if not is_quantized(blocks[group][name]):  # idempotent
+        if group in families and not is_quantized(blocks[group][name]):
             out[group][name] = quantize_weight(blocks[group][name])
     return out
 
@@ -97,16 +102,17 @@ def _deepcopy_dicts(tree):
     return tree
 
 
-def quantize_clip_params(params, towers=("visual",)):
+def quantize_clip_params(params, towers=("visual",), families=("attn", "mlp")):
     """Return CLIP params with the given towers' transformer blocks in int8.
 
     ``towers`` ⊆ {"visual", "text"}.  Only ViT-style ``blocks`` trees are
     quantized (the ModifiedResNet tower is conv-dominated; its attention
     pool is a single layer and not worth the precision risk).
+    ``families`` ⊆ {"attn", "mlp"} — see ``quantize_blocks``.
     """
     out = _deepcopy_dicts(params)
     for t in towers:
         sub = out.get(t)
         if sub is not None and isinstance(sub, dict) and "blocks" in sub:
-            sub["blocks"] = quantize_blocks(sub["blocks"])
+            sub["blocks"] = quantize_blocks(sub["blocks"], families=families)
     return out

@@ -77,6 +77,29 @@ def test_quantized_vit_features_agree(arch):
     assert float(jnp.min(cos)) > 0.99, np.asarray(cos)
 
 
+def test_quantize_families_subset():
+    """families=("mlp",) quantizes only the wide MLP GEMMs (2/3 of tower
+    FLOPs) and leaves QKV/out-proj float — the partially-quantized tower
+    still runs and tracks the fp features."""
+    cfg = ARCHS["test-tiny"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=7))
+    qparams = quantize_clip_params(
+        params, towers=("visual",), families=("mlp",))
+    blocks = qparams["visual"]["blocks"]
+    assert is_quantized(blocks["mlp"]["w_fc"])
+    assert is_quantized(blocks["mlp"]["w_proj"])
+    assert not is_quantized(blocks["attn"]["w_qkv"])
+    assert not is_quantized(blocks["attn"]["w_out"])
+
+    rng = np.random.RandomState(8)
+    imgs = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 0.5)
+    f_fp = encode_image(params, cfg, imgs)
+    f_q = encode_image(qparams, cfg, imgs)
+    cos = jnp.sum(f_fp * f_q, axis=-1) / (
+        jnp.linalg.norm(f_fp, axis=-1) * jnp.linalg.norm(f_q, axis=-1))
+    assert float(jnp.min(cos)) > 0.99, np.asarray(cos)
+
+
 def test_quantized_blocks_scan_jit():
     """The quantized stacked pytree must flow through jit + lax.scan."""
     cfg = ARCHS["test-tiny"]

@@ -34,6 +34,10 @@ STEPS = int(os.environ.get("INFER_STEPS", "20"))
 INNER = int(os.environ.get("INFER_INNER", "10"))
 BF16 = os.environ.get("BENCH_BF16_TOWERS", "1") == "1"
 INT8 = os.environ.get("BENCH_INT8", "0") == "1"  # W8A8 image tower (ops/quant.py)
+# which GEMM families to quantize: "attn,mlp" (full) or "mlp" (wide GEMMs
+# only — halves the dynamic act-quant overhead per layer)
+INT8_FAMILIES = tuple(
+    os.environ.get("BENCH_INT8_FAMILIES", "attn,mlp").split(","))
 
 
 def main():
@@ -71,7 +75,8 @@ def main():
     if INT8:
         from fsvlm_tpu.ops.quant import quantize_clip_params
 
-        params = quantize_clip_params(params, towers=("visual",))
+        params = quantize_clip_params(
+            params, towers=("visual",), families=INT8_FAMILIES)
 
     res = clip_cfg.image_resolution
 
@@ -116,7 +121,7 @@ def main():
                 json.dumps(
                     {
                         "metric": f"zero-shot {ARCH} serving throughput (one chip)"
-                        + (" [int8]" if INT8 else ""),
+                        + (f" [int8:{','.join(INT8_FAMILIES)}]" if INT8 else ""),
                         "batch": B,
                         "classes": N_CLASSES,
                         "value": round(img_s, 1),
