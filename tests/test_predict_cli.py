@@ -60,6 +60,33 @@ def test_predict_inprocess(tmp_path):
     assert sum(p for _, p in results[0][1]) <= 1.0 + 1e-6
 
 
+def test_predict_int8_serving(tmp_path):
+    """MODEL.QUANT_INT8 flows through predict(): the engine swaps the
+    frozen visual tower for its int8 copy at first eval (engine/trainer.py
+    _get_frozen_eval) and the CLI serves it like test() does."""
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+    from test_coop_end2end import make_cfg
+
+    import predict as predict_mod
+
+    cfg = make_cfg(tmp_path, **{
+        "OPTIM.MAX_EPOCH": 1, "TEST.NO_TEST": True, "MODEL.QUANT_INT8": True})
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+
+    paths = _write_images(str(tmp_path / "imgs"), n=2)
+    results = list(predict_mod.predict(t, cfg, paths, topk=2, pred_batch=2))
+    assert len(results) == 2
+    from fsvlm_tpu.ops.quant import is_quantized
+
+    assert is_quantized(
+        t._get_frozen_eval()["clip"]["visual"]["blocks"]["attn"]["w_qkv"])
+    for _, tk in results:
+        assert all(0.0 <= p <= 1.0 for _, p in tk)
+
+
 def test_predict_cli_end_to_end(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out_dir = str(tmp_path / "run")
