@@ -152,6 +152,42 @@ def test_trained_coop_serves_int8_at_eval(tmp_path):
     assert abs(acc_q - acc_fp) <= 10.0, (acc_fp, acc_q)
 
 
+def test_visual_prompt_trainer_serves_int8(tmp_path):
+    """Visual deep prompts (PromptSRC) splice INSIDE the quantized tower:
+    the scan slices each layer's {"q8","scale"} record alongside the float
+    leaves and the spliced sequence flows through int8_linear.  This is the
+    one serving composition the CoOp test above (no visual prompts) cannot
+    reach."""
+    from test_ivlp_promptsrc import ivlp_cfg
+
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    cfg = ivlp_cfg(tmp_path, trainer="PromptSRC", **{
+        "OPTIM.MAX_EPOCH": 2,
+        "TEST.NO_TEST": True,
+        "TRAINER.PROMPTSRC.TEXT_LOSS_WEIGHT": 1.0,
+        "TRAINER.PROMPTSRC.IMAGE_LOSS_WEIGHT": 0.5,
+        "TRAINER.PROMPTSRC.GPA_MEAN": 1,
+        "TRAINER.PROMPTSRC.GPA_STD": 1,
+    })
+    cfg.freeze()
+    t = build_trainer(cfg)
+    t.train()
+
+    acc_fp = t.test()
+    t.cfg.defrost()
+    t.cfg.MODEL.QUANT_INT8 = True
+    t.cfg.freeze()
+    t._frozen_eval = None
+    acc_q = t.test()
+    assert is_quantized(
+        t._frozen_eval["clip"]["visual"]["blocks"]["mlp"]["w_fc"])
+    # random tiny towers after 2 epochs: only require the quantized serve
+    # to produce a sane accuracy in the fp path's neighbourhood
+    assert abs(acc_q - acc_fp) <= 15.0, (acc_fp, acc_q)
+
+
 def test_int8_serving_shards_over_mesh():
     """The int8 forward composes with SPMD: batch sharded over the 8-device
     mesh, quantized params replicated, predictions match single-device."""
