@@ -330,16 +330,56 @@ def main():
                 updates, opt_state = tx.update(grads, opt_state, learnable)
                 return optax.apply_updates(learnable, updates), opt_state, loss
 
-            lc, oc = learnable, opt_state
-            for _ in range(3):
-                lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
-            _ = float(loss)
-            t0 = time.time()
-            for i in range(STEPS):
-                lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
-                if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
+            if scan_k:
+                # same fused-dispatch method as the headline; zs_img rolls
+                # WITH the images so each step's cached features still pair
+                # with its batch rows (no hoisting concern here — the cached
+                # teacher is *supposed* to be precomputed)
+                def step_ct_inner(learnable, opt_state, frozen, images,
+                                  labels, zs_img):
+                    loss, grads = jax.value_and_grad(loss_fn_ct)(
+                        learnable, frozen, images, labels, zs_img)
+                    updates, opt_state = tx.update(grads, opt_state, learnable)
+                    return (optax.apply_updates(learnable, updates),
+                            opt_state, loss)
+
+                @jax.jit
+                def train_many_ct(learnable, opt_state, frozen, images,
+                                  labels, zs_img):
+                    def body(carry, step):
+                        l, o = carry
+                        imgs, labs = _rolled(images, labels, step)
+                        l, o, loss = step_ct_inner(
+                            l, o, frozen, imgs, labs,
+                            jnp.roll(zs_img, step, axis=0))
+                        return (l, o), loss
+
+                    (l, o), losses = jax.lax.scan(
+                        body, (learnable, opt_state), jnp.arange(scan_k))
+                    return l, o, losses[-1]
+
+                lc, oc, loss = train_many_ct(
+                    learnable, opt_state, frozen, images, labels, zs_img_cached)
+                _ = float(loss)
+                t0 = time.time()
+                n_calls = max(1, STEPS // scan_k)
+                for _ in range(n_calls):
+                    lc, oc, loss = train_many_ct(
+                        lc, oc, frozen, images, labels, zs_img_cached)
                     assert np.isfinite(float(loss))
-            extra["cached_teacher_img_s"] = round(BATCH * STEPS / (time.time() - t0), 2)
+                extra["cached_teacher_img_s"] = round(
+                    BATCH * scan_k * n_calls / (time.time() - t0), 2)
+            else:
+                lc, oc = learnable, opt_state
+                for _ in range(3):
+                    lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
+                _ = float(loss)
+                t0 = time.time()
+                for i in range(STEPS):
+                    lc, oc, loss = step_ct(lc, oc, frozen, images, labels, zs_img_cached)
+                    if (i + 1) % fetch_every == 0 or (i + 1) == STEPS:
+                        assert np.isfinite(float(loss))
+                extra["cached_teacher_img_s"] = round(BATCH * STEPS / (time.time() - t0), 2)
         except Exception as e:  # never break the headline number
             extra["cached_teacher_img_s"] = None
             extra["ladder_note"] = f"cached-teacher failed: {e}"[:200]
@@ -348,7 +388,7 @@ def main():
         # fused-dispatch timing method as the headline — reference teacher
         # semantics (teacher sees the augmented batch) with the teacher
         # tower's GEMMs at W8A8 int8 (2x MXU int8 rate, ops/quant.py).
-        # Measured r3 on chip: 1243.2 img/s (82.9x) vs 956.5 default.
+        # Measured r3 on chip (hoist-proof): 999.4 img/s vs 953.0 default.
         # Skipped when the headline already runs int8 or isn't fused.
         if scan_k and not INT8_TEACHER:
             try:

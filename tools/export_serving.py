@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
-                     classnames=None, params=None, seed=0):
+                     classnames=None, params=None, seed=0,
+                     int8_families=("attn", "mlp")):
     """Returns (serve_fn, params) where serve_fn(params, uint8 images) ->
     (top1 ids, logits).  params are the (optionally quantized) CLIP params.
     """
@@ -56,7 +57,8 @@ def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
     if int8:
         from fsvlm_tpu.ops.quant import quantize_clip_params
 
-        params = quantize_clip_params(params, towers=("visual",))
+        params = quantize_clip_params(
+            params, towers=("visual",), families=int8_families)
 
     res = cfg.image_resolution
 
@@ -70,14 +72,15 @@ def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
 
 
 def export_serving(arch, n_classes, batch, out_path, int8=False,
-                   dtype_name="float32", classnames=None, params=None):
+                   dtype_name="float32", classnames=None, params=None,
+                   int8_families=("attn", "mlp")):
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     serve, params, res = build_serving_fn(
         arch, n_classes, dtype_name=dtype_name, int8=int8,
-        classnames=classnames, params=params)
+        classnames=classnames, params=params, int8_families=int8_families)
 
     param_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
@@ -97,6 +100,8 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--out", required=True)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8-families", default="attn,mlp",
+                    help="GEMM families to quantize: attn,mlp | mlp")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
@@ -104,7 +109,8 @@ def main():
 
     _, nbytes = export_serving(
         args.arch, args.classes, args.batch, args.out, int8=args.int8,
-        dtype_name="bfloat16" if args.bf16 else "float32")
+        dtype_name="bfloat16" if args.bf16 else "float32",
+        int8_families=tuple(args.int8_families.split(",")))
     print(f"wrote {args.out} ({nbytes / 1e6:.2f} MB, arch={args.arch}, "
           f"classes={args.classes}, batch={args.batch}, int8={args.int8})")
 
