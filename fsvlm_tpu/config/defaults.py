@@ -109,6 +109,10 @@ def get_cfg_default():
     # MXU int8 = 2x bf16 peak).  Serving/no-grad paths only (ZeroshotCLIP,
     # trainer.test()); see fsvlm_tpu/ops/quant.py
     _C.MODEL.QUANT_INT8 = False
+    # which GEMM families to quantize: ["attn", "mlp"] (full W8A8, max
+    # weight-memory saving) or ["mlp"] (wide GEMMs only — measured faster
+    # serving, 0.96x vs full int8's 0.92x of bf16; see PERF.md)
+    _C.MODEL.QUANT_INT8_FAMILIES = ["attn", "mlp"]
     _C.MODEL.HEAD = CN()
     _C.MODEL.HEAD.NAME = ""
     _C.MODEL.HEAD.HIDDEN_LAYERS = ()

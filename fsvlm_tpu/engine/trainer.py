@@ -633,8 +633,13 @@ class SimpleTrainer:
                     and "blocks" in clip["visual"]):
                 from ..ops.quant import quantize_clip_params
 
-                print("[eval] int8 image tower (MODEL.QUANT_INT8)")
-                fe = dict(fe, clip=quantize_clip_params(clip, towers=("visual",)))
+                families = tuple(
+                    getattr(self.cfg.MODEL, "QUANT_INT8_FAMILIES", None)
+                    or ("attn", "mlp"))
+                print(f"[eval] int8 image tower (MODEL.QUANT_INT8, "
+                      f"families={','.join(families)})")
+                fe = dict(fe, clip=quantize_clip_params(
+                    clip, towers=("visual",), families=families))
         self._frozen_eval = fe
         return fe
 

@@ -152,6 +152,24 @@ def test_trained_coop_serves_int8_at_eval(tmp_path):
     assert abs(acc_q - acc_fp) <= 10.0, (acc_fp, acc_q)
 
 
+def test_engine_int8_families_config(tmp_path):
+    """MODEL.QUANT_INT8_FAMILIES ["mlp"] reaches the engine eval hook: only
+    the MLP GEMMs quantize (the measured-faster selective variant)."""
+    from test_coop_end2end import make_cfg
+
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    cfg = make_cfg(tmp_path, **{"MODEL.QUANT_INT8": True})
+    cfg.defrost()
+    cfg.MODEL.QUANT_INT8_FAMILIES = ["mlp"]
+    cfg.freeze()
+    t = build_trainer(cfg)
+    fe = t._get_frozen_eval()
+    assert is_quantized(fe["clip"]["visual"]["blocks"]["mlp"]["w_fc"])
+    assert not is_quantized(fe["clip"]["visual"]["blocks"]["attn"]["w_qkv"])
+
+
 def test_visual_prompt_trainer_serves_int8(tmp_path):
     """Visual deep prompts (PromptSRC) splice INSIDE the quantized tower:
     the scan slices each layer's {"q8","scale"} record alongside the float
