@@ -152,3 +152,35 @@ def test_zeroshot_sub(tmp_path):
     )
     assert "* accuracy:" in stdout
     assert "SUBSAMPLE_CLASSES: base" in stdout
+
+
+def test_all_scripts_parse():
+    """Every shipped driver parses (bash -n) — including the reference-named
+    aliases and the fork's per-method train/test imbalanced drivers."""
+    import glob
+
+    scripts = glob.glob(
+        os.path.join(ROOT, "scripts", "**", "*.sh"), recursive=True)
+    assert len(scripts) >= 85, f"expected the full driver surface, got {len(scripts)}"
+    for s in scripts:
+        r = subprocess.run(["bash", "-n", s], capture_output=True, text=True)
+        assert r.returncode == 0, f"{s}:\n{r.stderr}"
+
+
+def test_fork_train_test_driver_chain(tmp_path):
+    """The fork's 7-positional CoOp train/test drivers (reference
+    scripts/coop/{train,test}.sh) run end-to-end offline: base-half
+    training, then the eval-only reload through the shared directory
+    contract."""
+    out_root = str(tmp_path / "out")
+    env = {
+        "OUT_ROOT": out_root,
+        "LOADEP": "1",
+        "FSVLM_EXTRA_OPTS": "OPTIM.MAX_EPOCH 1 DATALOADER.TRAIN_X.BATCH_SIZE 8",
+    }
+    args = ["synthetic", "../tests/synthetic_tiny", "end", "4", "4", "False", "1"]
+    stdout = run_script("scripts/coop/train.sh", args, env)
+    assert "Finish training" in stdout
+    stdout = run_script("scripts/coop/test.sh", args, env)
+    assert "* accuracy:" in stdout
+    assert "SUBSAMPLE_CLASSES: all" in stdout
