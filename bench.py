@@ -103,6 +103,8 @@ def main():
         params, classnames, n_ctx=4, ctx_init="a photo of a", init_keep_n_ctx=True,
         truncate=True,  # framework default: exact EOT truncation
     )
+    text_len = int(pc["base_embed"].shape[1])  # EOT-truncated seq length
+    cfg_is_vit = clip_cfg.is_vit
     rng = np.random.RandomState(0)
 
     frozen = {
@@ -484,6 +486,14 @@ def main():
                 # measure the trainer loop in the same configuration the
                 # headline reports (r3 on chip: 1222.6 img/s vs 942 default)
                 env.setdefault("BENCH_CACHED_TEACHER", "1")
+            # self-describing lane (ADVICE r3): state which teacher config
+            # the e2e number ran, so e2e_img_s is comparable across runs
+            if env.get("BENCH_CACHED_TEACHER") == "1":
+                extra["e2e_config"] = "cached_teacher"
+            elif env.get("BENCH_INT8_TEACHER") == "1" or INT8_TEACHER:
+                extra["e2e_config"] = "int8_teacher"
+            else:
+                extra["e2e_config"] = "default"
             # 512 shots x 8 classes = 4096 resident images (85 steps/epoch
             # at bs 48, 768 MB HBM): approaching the reference's ImageNet-
             # 16-shot epoch (333 steps at bs 48), so per-epoch fixed
@@ -523,28 +533,51 @@ def main():
         extra["reference_teacher_img_s"] = round(imgs_per_sec, 2)
         imgs_per_sec = extra.pop("cached_teacher_img_s")
         metric_suffix += ", cached-teacher config"
+    extra["headline_config"] = (
+        "cached_teacher" if headline_cached
+        else ("int8_teacher" if INT8_TEACHER else "default"))
 
     # efficiency metrics (VERDICT r2 item 9): TFLOP/s and % of the measured
-    # dense-matmul ceiling (98.9 TF/s through this tunnel, PERF.md).  FLOPs
-    # come from the XLA compiler's own cost analysis of the exact program we
-    # timed (the persistent compile cache makes the lower/compile a cache
-    # hit); falls back to the PERF.md analytic model.
+    # matmul ceiling.  The ceiling comes from tools/calibrate_ceiling.py
+    # (CEILING.json): step-shaped GEMMs — the (B·L,D)x(D,4D) MLP family,
+    # QKV/out-proj, attention einsums — measured through this tunnel, NOT
+    # the old 4096^3 chain (98.9 TF/s), which the step's own fusions beat
+    # (~156 TF/s teacher MLP, PERF.md) and which understated the denominator
+    # (VERDICT r3 weak #1).  Falls back to the old number if uncalibrated.
     MEASURED_CEILING_TFLOPS = 98.9
-    # analytic step cost: ~70 GFLOP/img (student fwd+bwd + teacher fwd) +
-    # 2.1 GFLOP/class text fwd+bwd (PERF.md step cost model).  XLA's
-    # cost_analysis() is NOT usable here: it counts a lax.scan body once
-    # instead of times-trip-count, undercounting the tower scans ~100x
-    # (measured r3: 0.62 "TF/s" at 651 img/s).
-    if ARCH == "ViT-B/16":  # the analytic model is ViT-B/16-specific
-        # 70 GFLOP/img = student fwd+bwd (52.5) + teacher fwd (17.5); the
-        # cached-teacher headline removes the per-step teacher forward
-        per_img_flops = 52.5e9 if headline_cached else 70e9
-        flops_per_step = BATCH * per_img_flops + 2.1e9 * N_CLASSES
+    ceiling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CEILING.json")
+    if os.path.exists(ceiling_path):
+        try:
+            with open(ceiling_path) as f:
+                cal = json.load(f)
+            MEASURED_CEILING_TFLOPS = float(cal["ceiling_tflops"])
+            extra["ceiling_source"] = cal.get("source", "CEILING.json")
+        except Exception:
+            pass
+    # step FLOPs from the exact GEMM inventory (fsvlm_tpu/utils/flops.py):
+    # true FLOPs (2/MAC), dgrad-only backward (frozen towers — wgrads are
+    # DCE'd, confirmed by the profile's bwd ~= fwd timing), the actual
+    # EOT-truncated text length.  Round-3's model mixed conventions
+    # (17.5 "GFLOP" fwd was MACs) and overcounted backward 1.5x — the old
+    # tflops_per_sec numbers are NOT comparable (see PERF.md roofline).
+    # XLA's cost_analysis() is still unusable: it counts a lax.scan body
+    # once instead of times-trip-count (~100x undercount measured r3).
+    if cfg_is_vit:
+        from fsvlm_tpu.utils.flops import promptsrc_step_flops
+
+        flops_per_step = promptsrc_step_flops(
+            clip_cfg, BATCH, N_CLASSES, text_len, n_vpt=4,
+            teacher="cached" if headline_cached else
+            ("int8" if INT8_TEACHER else "per_step"))
         tflops_per_sec = imgs_per_sec / BATCH * flops_per_step / 1e12
         extra["tflops_per_sec"] = round(tflops_per_sec, 2)
+        extra["flop_convention"] = "true (2/MAC), dgrad-only bwd"
         extra["pct_of_measured_ceiling"] = round(
             100.0 * tflops_per_sec / MEASURED_CEILING_TFLOPS, 1
         )
+        extra["pct_of_nominal_197tf"] = round(
+            100.0 * tflops_per_sec / 197.0, 1)
 
     if bf16_on and metric_suffix:
         metric_suffix += ", bf16 towers"

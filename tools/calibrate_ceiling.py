@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Calibrate the MXU ceiling with the step's OWN GEMM shapes (roofline).
+
+Round 3 quoted MFU against a 98.9 TF/s "measured dense ceiling" from a
+4096^3 bf16 chain — but the step's own fusions measure faster (the teacher
+MLP GEMM ran at ~156 TF/s effective, PERF.md), i.e. the denominator was
+understated and the resulting "72% of ceiling" flattered the step
+(VERDICT r3 weak #1).  This tool replaces that number with a defensible
+one:
+
+1. Enumerate the exact GEMM inventory of the PromptSRC step
+   (fsvlm_tpu/utils/flops.py — true FLOPs, dgrad-only backward).
+2. Microbench EVERY distinct GEMM shape in that inventory on the current
+   backend, as a dependent ping-pong chain: y = x @ W1 ((M,K)x(K,N)) then
+   x' = y @ W2 ((M,N)x(N,K)) — the second GEMM is exactly the family's
+   dgrad geometry, the data dependence defeats loop-invariant hoisting and
+   CSE, and the whole chain runs in ONE dispatch (lax.scan) so the tunnel
+   RTT is amortized exactly like the fused train step.
+3. Compute the FLOP-weighted roofline: ideal step time = sum_i F_i / R_i
+   over families, composite ceiling = F_total / ideal_time.
+
+Writes CEILING.json at the repo root (read by bench.py for
+pct_of_measured_ceiling) and prints a per-op-class markdown table for
+PERF.md.
+
+Usage:  python tools/calibrate_ceiling.py [--batch 48] [--classes 100]
+        [--iters 32] [--out CEILING.json] [--dry]
+`--dry` runs tiny iteration counts (CPU smoke / CI).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_family(jax, jnp, m, k, n, batch, iters, dtype):
+    """Achieved TF/s of the (batch x (M,K)@(K,N) -> (M,N)@(N,K)) ping-pong."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+
+    def mk(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
+
+    if batch == 1:
+        x0, w1, w2 = mk(m, k), mk(k, n), mk(n, k)
+    else:
+        x0, w1, w2 = mk(batch, m, k), mk(batch, k, n), mk(batch, n, k)
+
+    @jax.jit
+    def chain(x, w1, w2):
+        def body(x, _):
+            y = x @ w1
+            x = y @ w2
+            # keep magnitudes bounded without leaving the VPU fast path
+            x = x * jnp.float32(1e-2).astype(x.dtype)
+            return x, ()
+
+        x, _ = jax.lax.scan(body, x, (), length=iters)
+        return x
+
+    out = chain(x0, w1, w2)  # compile + warmup
+    out.block_until_ready()
+    _ = jax.device_get(out[..., 0, 0])  # force completion through the tunnel
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = chain(out, w1, w2)
+        _ = jax.device_get(out[..., 0, 0])
+    dt = time.time() - t0
+    flops = 2 * 2 * m * k * n * batch * iters * reps  # 2 GEMMs per iter
+    return flops / dt / 1e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--classes", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--teacher", default="per_step",
+                    choices=["per_step", "cached", "int8"])
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CEILING.json"))
+    ap.add_argument("--dry", action="store_true",
+                    help="tiny iters (CPU smoke); does not write CEILING.json"
+                         " unless --out is explicitly given")
+    args = ap.parse_args()
+
+    import jax
+
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.clip import ARCHS
+    from fsvlm_tpu.utils import flops as F
+
+    cfg = ARCHS[os.environ.get("BENCH_ARCH", "ViT-B/16")]
+    # the bench's EOT-truncated text length for "a photo of a class {i}."
+    # prompts is 10 (build_prompt_context(truncate=True)); keep in sync
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", "10"))
+    gemms = F.promptsrc_step_gemms(cfg, args.batch, args.classes, text_len,
+                                   n_vpt=4, teacher=args.teacher)
+    total = F.total_flops(gemms)
+
+    # dedup into measurement families by (m, k, n, batch); accumulate step
+    # FLOPs per family.  The dgrad GEMMs of a linear have the transposed
+    # geometry of its forward — the ping-pong chain measures both, so fold
+    # (m,k,n) and (m,n,k) into one family keyed by the forward orientation.
+    fams = {}
+    for g in gemms:
+        key = (g.m, *sorted((g.k, g.n)), g.batch)
+        fams.setdefault(key, {"flops": 0, "names": set(),
+                              "op_class": g.op_class})
+        fams[key]["flops"] += g.flops
+        fams[key]["names"].add(g.name.replace("_dgrad", ""))
+
+    iters = 2 if args.dry else args.iters
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    rows = []
+    for (m, k, n, batch), info in sorted(
+            fams.items(), key=lambda kv: -kv[1]["flops"]):
+        tfs = measure_family(jax, jnp, m, k, n, batch, iters, dtype)
+        share = info["flops"] / total
+        ideal_ms = info["flops"] / (tfs * 1e12) * 1e3
+        rows.append({
+            "shape": f"{batch}x({m},{k})x({k},{n})" if batch > 1
+                     else f"({m},{k})x({k},{n})",
+            "op_class": info["op_class"],
+            "names": sorted(info["names"]),
+            "step_gflops": round(info["flops"] / 1e9, 1),
+            "flop_share_pct": round(100 * share, 1),
+            "measured_tflops": round(tfs, 1),
+            "ideal_ms": round(ideal_ms, 3),
+        })
+        print(f"  {rows[-1]['shape']:36s} {rows[-1]['op_class']:12s} "
+              f"{rows[-1]['step_gflops']:9.1f} GF "
+              f"({rows[-1]['flop_share_pct']:4.1f}%)  "
+              f"{tfs:7.1f} TF/s  ideal {ideal_ms:7.3f} ms", flush=True)
+
+    ideal_step_ms = sum(r["ideal_ms"] for r in rows)
+    ceiling = total / (ideal_step_ms / 1e3) / 1e12
+    print(f"\nstep GEMM FLOPs: {total/1e9:.1f} GF (true, 2/MAC)")
+    print(f"ideal GEMM-only step time: {ideal_step_ms:.2f} ms")
+    print(f"composite step-shaped ceiling: {ceiling:.1f} TF/s")
+
+    result = {
+        "ceiling_tflops": round(ceiling, 2),
+        "ideal_step_ms": round(ideal_step_ms, 3),
+        "step_gemm_gflops": round(total / 1e9, 2),
+        "convention": "true FLOPs (2/MAC), dgrad-only backward",
+        "config": {"batch": args.batch, "classes": args.classes,
+                   "text_len": text_len, "teacher": args.teacher,
+                   "iters": iters, "backend": jax.default_backend()},
+        "source": "tools/calibrate_ceiling.py (step-shaped GEMM ping-pong)",
+        "families": rows,
+    }
+    if args.dry and args.out == ap.get_default("out"):
+        print("(--dry: not writing CEILING.json)")
+    else:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+    # markdown roofline table for PERF.md
+    print("\n| shape | op class | step GF | share | TF/s | ideal ms |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| `{r['shape']}` | {r['op_class']} | {r['step_gflops']} "
+              f"| {r['flop_share_pct']}% | {r['measured_tflops']} "
+              f"| {r['ideal_ms']} |")
+
+
+if __name__ == "__main__":
+    main()
