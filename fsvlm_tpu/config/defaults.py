@@ -196,6 +196,9 @@ def get_cfg_default():
     _C.TRAINER.COCOOP.CTX_INIT = ""
     _C.TRAINER.COCOOP.PREC = "fp16"
     _C.TRAINER.COCOOP.USE_FOCAL_LOSS = False
+    # class-chunked text pass: 0 = auto (chunk only past BATCHED_TEXT_LIMIT),
+    # >0 forces that block size.  ImageNet-base (500 cls) runs chunked.
+    _C.TRAINER.COCOOP.CLASS_CHUNK = 0
 
     _C.TRAINER.MAPLE = CN()
     _C.TRAINER.MAPLE.N_CTX = 2

@@ -10,6 +10,17 @@ become one batched pass — prompts (B, n_cls, L, D) are assembled with a
 single einsum and flattened to (B*n_cls, L, D) through the text tower.  This
 is why the reference needs batch_size=1; here any batch size compiles to one
 fused program.
+
+At the reference's hard scale — ImageNet-base, 500 classes
+(configs/trainers/CoCoOp/vit_b16_c4_ep10_batch1.yaml is batch_size=1 for
+exactly this reason) — even the flattened pass overruns HBM, so past
+BATCHED_TEXT_LIMIT the forward switches to a CLASS-CHUNKED lax.scan: class
+blocks of size TRAINER.COCOOP.CLASS_CHUNK (auto-picked when 0) stream
+through the text tower one at a time with rematerialization, each block a
+full (B*chunk) MXU-sized text pass, and the per-block logits concatenate
+into the (B, n_cls) table before the softmax.  Memory is O(B*chunk) text
+forwards instead of O(B*n_cls); gradients recompute per block under
+jax.checkpoint.
 """
 
 import jax
@@ -24,9 +35,9 @@ from .prompts import build_prompt_context
 
 
 # Above this batch*n_cls product the train/eval forward switches from the
-# fully-batched text pass to the bounded-memory lax.map formulation (one
-# image's n_cls text forwards live at a time).  Module-level so tests can
-# force the lax.map branch at tiny scale.
+# fully-batched text pass to the bounded-memory class-chunked scan (one
+# class block's B*chunk text forwards live at a time).  Module-level so
+# tests can force the chunked branch at tiny scale.
 BATCHED_TEXT_LIMIT = 4096
 
 
@@ -99,6 +110,7 @@ class CoCoOp(SimpleTrainer):
         remat = bool(cfg.TRAIN.REMAT)
 
         n_cls = len(classnames)
+        class_chunk = int(getattr(node, "CLASS_CHUNK", 0))
 
         def logits_of(params, frozen, images):
             imf = l2_normalize(
@@ -110,36 +122,59 @@ class CoCoOp(SimpleTrainer):
             ctx = params["ctx"][None] + bias[:, None, :]  # (B, n_ctx, D)
             scale = jnp.exp(frozen["clip"]["logit_scale"])
 
-            def text_logits(args):
-                """All n_cls conditioned prompts for one image -> (n_cls,)."""
-                ctx_i, imf_i = args
-                delta = jnp.einsum(
-                    "cpj,jd->cpd", frozen["ctx_scatter"], ctx_i.astype(jnp.float32)
-                )
-                prompts = frozen["base_embed"] + delta
-                txf = l2_normalize(
-                    encode_text_embeds(
-                        frozen["clip"],
-                        clip_cfg_,
-                        prompts,
-                        frozen["eot_idx"],
-                        compute_dtype=dtype,
-                        remat=remat,
-                    ),
-                    axis=-1,
-                )
-                return scale * txf @ imf_i
-
             B = images.shape[0]
-            if B * n_cls <= BATCHED_TEXT_LIMIT:
+            chunk = class_chunk
+            if chunk <= 0 and B * n_cls > BATCHED_TEXT_LIMIT:
+                chunk = max(1, min(n_cls, BATCHED_TEXT_LIMIT // max(B, 1)))
+            if chunk <= 0 or chunk >= n_cls:
                 # fully batched: one flattened pass through the text tower
                 return scale * jnp.einsum(
                     "be,bce->bc", imf, _batched_text_features(params, frozen, ctx)
                 )
-            # bounded-memory path for large batch x class products: lax.map
-            # keeps one image's n_cls text forwards live at a time (still no
-            # python loops — contrast cocoop.py:247-251)
-            return jax.lax.map(text_logits, (ctx, imf))
+            # class-chunked scan: bounded memory at large batch x class
+            # products (ImageNet-base = 500 classes — the reference's bs-1
+            # worst case, cocoop.py:247-251).  Each scan step runs a full
+            # (B*chunk) text pass; remat recomputes the block in backward.
+            return _class_chunked_logits(params, frozen, imf, ctx, scale, chunk)
+
+        def _class_chunked_logits(params, frozen, imf, ctx, scale, chunk):
+            B = imf.shape[0]
+            n_pad = (-n_cls) % chunk
+            base = frozen["base_embed"]
+            scat = frozen["ctx_scatter"]
+            eot = frozen["eot_idx"]
+            if n_pad:
+                base = jnp.concatenate([base, base[:n_pad]], axis=0)
+                scat = jnp.concatenate([scat, scat[:n_pad]], axis=0)
+                eot = jnp.concatenate([eot, eot[:n_pad]], axis=0)
+            n_blocks = base.shape[0] // chunk
+            base = base.reshape(n_blocks, chunk, *base.shape[1:])
+            scat = scat.reshape(n_blocks, chunk, *scat.shape[1:])
+            eot = eot.reshape(n_blocks, chunk)
+
+            def block(carry, blk):
+                base_c, scat_c, eot_c = blk
+                delta = jnp.einsum(
+                    "cpj,bjd->bcpd", scat_c, ctx.astype(jnp.float32)
+                )
+                prompts = base_c[None] + delta  # (B, chunk, L, D)
+                L, D = prompts.shape[-2:]
+                txf = encode_text_embeds(
+                    frozen["clip"],
+                    clip_cfg_,
+                    prompts.reshape(B * chunk, L, D),
+                    jnp.tile(eot_c, B),
+                    compute_dtype=dtype,
+                    remat=remat,
+                ).reshape(B, chunk, -1)
+                txf = l2_normalize(txf, axis=-1)
+                return carry, scale * jnp.einsum("be,bce->bc", imf, txf)
+
+            body = jax.checkpoint(block) if remat else block
+            _, logits = jax.lax.scan(body, None, (base, scat, eot))
+            # (n_blocks, B, chunk) -> (B, n_blocks*chunk) -> trim padding
+            logits = jnp.moveaxis(logits, 0, 1).reshape(B, -1)
+            return logits[:, :n_cls]
 
         def _batched_text_features(params, frozen, ctx):
             delta = jnp.einsum(
