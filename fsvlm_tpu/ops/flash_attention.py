@@ -516,6 +516,331 @@ def _blockwise_vjp_bwd(block_q, block_k, interpret, residuals, g):
 blockwise_attention.defvjp(_blockwise_vjp_fwd, _blockwise_vjp_bwd)
 
 
+# --------------------------------------------------------------------------
+# Head-packed blockwise attention (d=64): two heads share one 128-lane tile.
+#
+# The padded kernels above waste half of every MXU pass at CLIP's d=64 —
+# q/k/v are padded 64 -> 128 lanes, so the score contraction runs K=128 with
+# half zeros and every HBM stream carries 50% padding.  Here a PAIR of heads
+# is packed into the 128 lanes ([h0 d0..63 | h1 d0..63]):
+#   * HBM traffic halves (no zero lanes anywhere: q/k/v/o/dq/dk/dv all dense)
+#   * the grid shrinks to B*H/2 programs
+#   * the score matmuls contract over a 64-lane slice (K=64) — the MXU
+#     streams half the rows of the padded version
+#   * the pv / dk / dv / dq matmuls keep K=BK/BQ and emit full 128-lane
+#     outputs in which BOTH halves are real heads (vs. one head + 64 zero
+#     lanes before)
+# Per-head softmax state (running max / sum / lse) lives in the lane half it
+# belongs to, selected with a lane-index mask.
+
+_LANE = 128
+_HALF = 64
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _hp_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                   m_scr, l_scr, acc_scr, *, scale, n_kv):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, 128): [h0 | h1]
+    k = k_ref[0]
+    v = v_ref[0]
+    lane = _lane_iota(acc_scr.shape)
+
+    alphas, pvs, m_news, l_news = [], [], [], []
+    for h in range(2):
+        sl = slice(h * _HALF, (h + 1) * _HALF)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask_ref[...]  # (BQ, BK) fp32
+        m_prev = m_scr[:, h * _HALF:h * _HALF + 1]  # (BQ, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_news.append(l_scr[:, h * _HALF:h * _HALF + 1] * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True))
+        hm = (lane[:v.shape[0]] >= h * _HALF) if h else (lane[:v.shape[0]] < _HALF)
+        pvs.append(jax.lax.dot_general(
+            p.astype(v.dtype), jnp.where(hm, v, 0),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # (BQ, 128), only head h's half nonzero
+        alphas.append(alpha)
+        m_news.append(m_new)
+
+    lo = lane < _HALF
+    alpha_lanes = jnp.where(lo, alphas[0], alphas[1])
+    acc_scr[...] = acc_scr[...] * alpha_lanes + pvs[0] + pvs[1]
+    m_scr[...] = jnp.where(lo, m_news[0], m_news[1])
+    l_scr[...] = jnp.where(lo, l_news[0], l_news[1])
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        l = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(l)
+
+
+def _hp_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                       mask_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                       *, scale, n_q):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lane_q = _lane_iota(q.shape)
+
+    for h in range(2):
+        sl = slice(h * _HALF, (h + 1) * _HALF)
+        hm_q = (lane_q >= _HALF) if h else (lane_q < _HALF)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask_ref[...]
+        p = jnp.exp(s - lse_ref[0][:, h * _HALF:h * _HALF + 1])
+        # dv half: p^T (g in head h's lanes)
+        dv_scr[...] += jax.lax.dot_general(
+            p, jnp.where(hm_q, g, 0.0),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g[:, sl], v[:, sl].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, h * _HALF:h * _HALF + 1])
+        dk_scr[...] += jax.lax.dot_general(
+            ds, jnp.where(hm_q, q.astype(jnp.float32), 0.0),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _hp_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      mask_ref, dq_ref, dq_scr, *, scale, n_kv):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    lane_k = _lane_iota(k.shape)
+
+    for h in range(2):
+        sl = slice(h * _HALF, (h + 1) * _HALF)
+        hm_k = (lane_k >= _HALF) if h else (lane_k < _HALF)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask_ref[...]
+        p = jnp.exp(s - lse_ref[0][:, h * _HALF:h * _HALF + 1])
+        dp = jax.lax.dot_general(
+            g[:, sl], v[:, sl].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0][:, h * _HALF:h * _HALF + 1])
+        dq_scr[...] += jax.lax.dot_general(
+            ds, jnp.where(hm_k, k.astype(jnp.float32), 0.0),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _pack_heads(t, Lp):
+    """(B, H, L, 64) -> (B*H/2, Lp, 128): head pairs share the lane dim."""
+    B, H, L, d = t.shape
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+    t = t.reshape(B, H // 2, 2, Lp, d).transpose(0, 1, 3, 2, 4)
+    return t.reshape(B * (H // 2), Lp, 2 * d)
+
+
+def _unpack_heads(t, B, H, L, d):
+    """inverse of _pack_heads (drops L padding)."""
+    Lp = t.shape[1]
+    t = t.reshape(B, H // 2, Lp, 2, d).transpose(0, 1, 3, 2, 4)
+    return t.reshape(B, H, Lp, d)[:, :, :L]
+
+
+def _hp_block_mask(L, Lq, Lk, mask):
+    full_mask = np.zeros((Lq, Lk), np.float32)
+    if L < Lk:
+        full_mask[:, L:] = -1e30
+    full_mask = jnp.asarray(full_mask)
+    if mask is not None:
+        full_mask = full_mask.at[:L, :L].add(mask.astype(jnp.float32))
+    return full_mask
+
+
+def _hp_fwd_impl(q, k, v, mask, block_q, block_k, interpret):
+    B, H, L, d = q.shape
+    assert d == _HALF and H % 2 == 0, "head packing needs d=64, even H"
+    scale = d ** -0.5
+    BQ = min(block_q, max(_round_up(L, 128), 128))
+    BK = min(block_k, max(_round_up(L, 128), 128))
+    Lq = _round_up(max(L, BQ), BQ)
+    Lk = _round_up(max(L, BK), BK)
+    n_q, n_kv = Lq // BQ, Lk // BK
+    full_mask = _hp_block_mask(L, Lq, Lk, mask)
+    G = B * (H // 2)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_hp_fwd_kernel, scale=scale, n_kv=n_kv),
+        grid=(G, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, qi, ki: (qi, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lq, _LANE), q.dtype),
+            jax.ShapeDtypeStruct((G, Lq, _LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, _LANE), jnp.float32),
+            pltpu.VMEM((BQ, _LANE), jnp.float32),
+            pltpu.VMEM((BQ, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_pack_heads(q, Lq), _pack_heads(k, Lk), _pack_heads(v, Lk), full_mask)
+
+    return _unpack_heads(out, B, H, L, d), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def packed_attention(q, k, v, mask, block_q=DEFAULT_BLOCK_Q,
+                     block_k=DEFAULT_BLOCK_K, interpret=False):
+    """Head-packed flash attention for d=64 (CLIP's head dim): two heads per
+    128-lane tile, O(L) memory, fwd+bwd Pallas.  mask: optional (L, L)
+    additive fp32 shared across heads."""
+    out, _ = _hp_fwd_impl(q, k, v, mask, block_q, block_k, interpret)
+    return out
+
+
+def _hp_vjp_fwd(q, k, v, mask, block_q, block_k, interpret):
+    out, lse = _hp_fwd_impl(q, k, v, mask, block_q, block_k, interpret)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _hp_vjp_bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v, mask, out, lse = residuals
+    B, H, L, d = q.shape
+    scale = d ** -0.5
+    BQ = min(block_q, max(_round_up(L, 128), 128))
+    BK = min(block_k, max(_round_up(L, 128), 128))
+    Lq = _round_up(max(L, BQ), BQ)
+    Lk = _round_up(max(L, BK), BK)
+    n_q, n_kv = Lq // BQ, Lk // BK
+    full_mask = _hp_block_mask(L, Lq, Lk, mask)
+    G = B * (H // 2)
+
+    # per-head delta = rowsum(g_h * o_h), stored in that head's lane half
+    d_heads = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    d_heads = jnp.pad(d_heads, ((0, 0), (0, 0), (0, Lq - L)))  # (B, H, Lq)
+    d_heads = d_heads.reshape(B, H // 2, 2, Lq).transpose(0, 1, 3, 2)
+    delta = jnp.repeat(
+        d_heads.reshape(G, Lq, 2), _HALF, axis=-1
+    )  # (G, Lq, 128): h0 value in lanes 0-63, h1 in 64-127
+
+    qp, gp = _pack_heads(q, Lq), _pack_heads(g, Lq)
+    kp, vp = _pack_heads(k, Lk), _pack_heads(v, Lk)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_hp_bwd_dkv_kernel, scale=scale, n_q=n_q),
+        grid=(G, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, BQ, _LANE), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, ki, qi: (qi, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, _LANE), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, ki, qi: (b, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lk, _LANE), k.dtype),
+            jax.ShapeDtypeStruct((G, Lk, _LANE), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BK, _LANE), jnp.float32),
+            pltpu.VMEM((BK, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta, full_mask)
+
+    dq = pl.pallas_call(
+        functools.partial(_hp_bwd_dq_kernel, scale=scale, n_kv=n_kv),
+        grid=(G, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BK, _LANE), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((BQ, BK), lambda b, qi, ki: (qi, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, _LANE), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, Lq, _LANE), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta, full_mask)
+
+    return (
+        _unpack_heads(dq, B, H, L, d),
+        _unpack_heads(dk, B, H, L, d),
+        _unpack_heads(dv, B, H, L, d),
+        None,
+    )
+
+
+packed_attention.defvjp(_hp_vjp_fwd, _hp_vjp_bwd)
+
+
 def _reference_attention_blhd(q, k, v, mask, scale):
     """Same math as _reference_attention but head-minor (B, L, H, d) input/
     output — no explicit head transposes; the contraction layouts are given
@@ -534,12 +859,21 @@ def _reference_attention_blhd(q, k, v, mask, scale):
 
 def attention_dispatch(q, k, v, mask=None, layout="bhld"):
     """XLA fused attention by default; FSVLM_FORCE_PALLAS=1 forces the
-    blockwise (flash) Pallas kernel, FSVLM_FORCE_PALLAS=legacy the
-    whole-sequence scaffold (interpret mode off-TPU, for testing).
-    layout="blhd" takes/returns head-minor tensors without transposition."""
+    blockwise (flash) Pallas kernel, =packed the head-packed d=64 variant,
+    =legacy the whole-sequence scaffold (interpret mode off-TPU, for
+    testing).  layout="blhd" takes/returns head-minor tensors without
+    transposition."""
     if layout == "blhd":
         return _reference_attention_blhd(q, k, v, mask, q.shape[-1] ** -0.5)
     force = _os.environ.get("FSVLM_FORCE_PALLAS")
+    if force == "packed":
+        # head-packed blockwise: needs d=64, even H, shared (L, L) mask
+        if (q.shape[-1] == 64 and q.shape[1] % 2 == 0
+                and (mask is None or mask.ndim == 2)):
+            return packed_attention(
+                q, k, v, mask, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                jax.default_backend() == "cpu")
+        force = "1"  # fall through to the unpacked blockwise kernel
     if force == "1":
         # blockwise wants a shared (L, L) additive mask; fall back to the
         # whole-sequence kernel for broadcast per-example masks.

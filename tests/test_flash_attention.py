@@ -9,6 +9,7 @@ from fsvlm_tpu.ops.flash_attention import (
     _reference_attention,
     blockwise_attention,
     fused_attention,
+    packed_attention,
 )
 from fsvlm_tpu.ops.attention import causal_mask
 
@@ -90,6 +91,53 @@ def test_blockwise_gradients_match_reference(L, bq, bk):
     g_block = jax.grad(loss_block, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_block, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "H,L,with_mask,bq,bk",
+    [
+        (4, 77, True, 256, 512),    # CLIP text, single block, 2 head pairs
+        (2, 201, False, 256, 512),  # CLIP vision+VPT
+        (2, 300, True, 128, 128),   # multi-block q AND kv, non-divisible L
+    ],
+)
+def test_head_packed_matches_reference(H, L, with_mask, bq, bk):
+    """Head-packed kernel (two d=64 heads per 128-lane tile): every head of
+    the packed pair must match the unpacked reference."""
+    rng = np.random.RandomState(7)
+    B, d = 2, 64
+    q = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    mask = causal_mask(L) if with_mask else None
+
+    ref = _reference_attention(q, k, v, mask, d ** -0.5)
+    out = packed_attention(q, k, v, mask, bq, bk, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("L,bq,bk", [(77, 256, 512), (300, 128, 128)])
+def test_head_packed_gradients_match_reference(L, bq, bk):
+    """Packed backward (per-head lse/delta in lane halves, masked-lane
+    accumulations) vs autodiff through the reference attention."""
+    rng = np.random.RandomState(8)
+    B, H, d = 1, 4, 64
+    q = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+    mask = causal_mask(L)
+    w = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32))
+
+    def loss_packed(q, k, v):
+        return (packed_attention(q, k, v, mask, bq, bk, True) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, mask, d ** -0.5) * w).sum()
+
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_packed, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = int(os.environ.get("ATTN_STEPS", "30"))
-MODES = os.environ.get("ATTN_MODES", "xla,blockwise,legacy").split(",")
+MODES = os.environ.get("ATTN_MODES", "xla,blockwise,packed,legacy").split(",")
 # (B, H, L, d): PromptSRC vision tower (bs48, 197 patches + 4 vpt), text
 # tower (100 classes, 77 ctx), and a long-context point for the flash path
 SHAPES = [
@@ -56,6 +56,12 @@ def main():
                     q, k, v, mask, d ** -0.5)
             elif mode == "blockwise":
                 fn = lambda q, k, v: fa.blockwise_attention(
+                    q, k, v, mask, fa.DEFAULT_BLOCK_Q, fa.DEFAULT_BLOCK_K,
+                    on_cpu)
+            elif mode == "packed":
+                if d != 64 or H % 2:
+                    continue
+                fn = lambda q, k, v: fa.packed_attention(
                     q, k, v, mask, fa.DEFAULT_BLOCK_Q, fa.DEFAULT_BLOCK_K,
                     on_cpu)
             elif mode == "legacy":
