@@ -113,6 +113,12 @@ def get_cfg_default():
     # weight-memory saving) or ["mlp"] (wide GEMMs only — measured faster
     # serving, 0.96x vs full int8's 0.92x of bf16; see PERF.md)
     _C.MODEL.QUANT_INT8_FAMILIES = ["attn", "mlp"]
+    # static calibrated per-tensor activation scales (vs dynamic per-token):
+    # removes the in-graph |x| reductions that ate the int8 serving win
+    # (PERF.md int8 A/B).  Calibrates over QUANT_INT8_CALIB_BATCHES test
+    # batches at first eval.
+    _C.MODEL.QUANT_INT8_STATIC = False
+    _C.MODEL.QUANT_INT8_CALIB_BATCHES = 4
     _C.MODEL.HEAD = CN()
     _C.MODEL.HEAD.NAME = ""
     _C.MODEL.HEAD.HIDDEN_LAYERS = ()

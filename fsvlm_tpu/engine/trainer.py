@@ -636,10 +636,28 @@ class SimpleTrainer:
                 families = tuple(
                     getattr(self.cfg.MODEL, "QUANT_INT8_FAMILIES", None)
                     or ("attn", "mlp"))
+                static_amax = None
+                if getattr(self.cfg.MODEL, "QUANT_INT8_STATIC", False):
+                    from ..ops.quant import calibrate_visual_amax
+
+                    n_cal = int(getattr(
+                        self.cfg.MODEL, "QUANT_INT8_CALIB_BATCHES", 4))
+                    loader = self.test_loader or self.train_loader_x
+
+                    def _cal_batches():
+                        for i, batch in enumerate(loader):
+                            if i >= n_cal:
+                                break
+                            yield self.parse_batch_test(batch)["img"]
+
+                    static_amax = {"visual": calibrate_visual_amax(
+                        clip, self.clip_cfg, _cal_batches())}
                 print(f"[eval] int8 image tower (MODEL.QUANT_INT8, "
-                      f"families={','.join(families)})")
+                      f"families={','.join(families)}, "
+                      f"act={'static' if static_amax else 'dynamic'})")
                 fe = dict(fe, clip=quantize_clip_params(
-                    clip, towers=("visual",), families=families))
+                    clip, towers=("visual",), families=families,
+                    static_amax=static_amax))
         self._frozen_eval = fe
         return fe
 

@@ -61,8 +61,13 @@ def encode_image_vit(
     compute_dtype=jnp.float32,
     lora=None,
     remat=False,
+    collect_gemm_amax=False,
 ):
-    """ViT image tower. images: (B, H, W, 3) already CLIP-normalized."""
+    """ViT image tower. images: (B, H, W, 3) already CLIP-normalized.
+
+    collect_gemm_amax=True returns (features, (n_layers, 4) amax of the
+    four per-block GEMM inputs) — the int8 static-scale calibration hook
+    (ops.quant.calibrate_visual_amax)."""
     v = params["visual"]
     x = patch_embed(images.astype(compute_dtype), v["patch_embed"])
     B = x.shape[0]
@@ -91,9 +96,14 @@ def encode_image_vit(
         splice_kind="vision",
         lora=lora,
         remat=remat,
+        collect_gemm_amax=collect_gemm_amax,
     )
+    amax = None
+    if collect_gemm_amax:
+        x, amax = x
     x = layer_norm(x[:, 0, :], v["ln_post"]["scale"], v["ln_post"]["bias"])
-    return (x.astype(jnp.float32) @ v["proj"].astype(jnp.float32))
+    feats = x.astype(jnp.float32) @ v["proj"].astype(jnp.float32)
+    return (feats, amax) if collect_gemm_amax else feats
 
 
 def embed_tokens(params, token_ids, compute_dtype=jnp.float32):
@@ -156,6 +166,7 @@ def encode_image(params, cfg, images, **kw):
     kw.pop("prompts", None)  # prompting is ViT-only, as in the reference
     kw.pop("lora", None)
     kw.pop("remat", None)
+    kw.pop("collect_gemm_amax", None)  # int8 calibration is ViT-only
     return encode_image_resnet(params, cfg, images, **kw)
 
 

@@ -51,9 +51,9 @@ def _splice_vision(x, prompt, n_ctx, flag):
         x, jnp.where(flag, p, cur), start, axis=1)
 
 
-def _block(params, x, n_heads, mask, lora_slice):
+def _block(params, x, n_heads, mask, lora_slice, collect_amax=False):
     h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"])
-    x = x + mha(
+    attn = mha(
         h,
         params["attn"]["w_qkv"],
         params["attn"]["b_qkv"],
@@ -62,11 +62,23 @@ def _block(params, x, n_heads, mask, lora_slice):
         n_heads,
         mask=mask,
         lora_delta=lora_slice,
+        return_ctx_amax=collect_amax,
     )
+    if collect_amax:
+        attn, a_out = attn
+        a_qkv = jnp.max(jnp.abs(h.astype(jnp.float32)))
+    x = x + attn
     h = layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"])
+    if collect_amax:
+        a_fc = jnp.max(jnp.abs(h.astype(jnp.float32)))
     h = linear(h, params["mlp"]["w_fc"], params["mlp"]["b_fc"])
     h = quick_gelu(h)
+    if collect_amax:
+        a_proj = jnp.max(jnp.abs(h.astype(jnp.float32)))
     h = linear(h, params["mlp"]["w_proj"], params["mlp"]["b_proj"])
+    if collect_amax:
+        # order matches ops.quant._TOWER_GEMMS: qkv, out, fc, proj
+        return x + h, jnp.stack([a_qkv, a_out, a_fc, a_proj])
     return x + h
 
 
@@ -82,6 +94,7 @@ def transformer(
     lora=None,
     remat=False,
     collect_activations=False,
+    collect_gemm_amax=False,
 ):
     """Run the stacked transformer.
 
@@ -120,6 +133,12 @@ def transformer(
             lora_slice = dict(lora_slice)
             # per-layer typed PRNG key + static rate -> lora dropout in mha
             lora_slice["dropout"] = (lora_slice.pop("dkey"), dropout_rate)
+        if collect_gemm_amax:
+            # int8 static-scale calibration: per-layer (4,) amax of the four
+            # GEMM inputs (qkv, out-proj, fc, proj — ops.quant order)
+            h, amax = _block(params, h, n_heads, mask, lora_slice,
+                             collect_amax=True)
+            return h, amax
         h = _block(params, h, n_heads, mask, lora_slice)
         # debug/interpretability hook: per-layer outputs (the reference's
         # Transformer.saved_features instrumentation, clip/model.py:340-366,
@@ -158,6 +177,6 @@ def transformer(
     x, layer_outputs = jax.lax.scan(
         body, x, xs, unroll=unroll, _split_transpose=split_t
     )
-    if collect_activations:
+    if collect_activations or collect_gemm_amax:
         return x, layer_outputs
     return x

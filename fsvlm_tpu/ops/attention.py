@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 
-def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
+def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None,
+        return_ctx_amax=False):
     """Batched multi-head self-attention.
 
     Args:
@@ -105,6 +106,9 @@ def mha(x, w_qkv, b_qkv, w_out, b_out, n_heads, mask=None, lora_delta=None):
                 keep = jax.random.bernoulli(pkey, 1.0 - rate, ctx.shape)
                 ctx_in = jnp.where(keep, ctx / (1.0 - rate), 0.0).astype(ctx.dtype)
         out = out + ((ctx_in @ a.astype(ctx.dtype)) @ b_.astype(ctx.dtype) * scale_o).astype(out.dtype)
+    if return_ctx_amax:
+        # int8 calibration hook: amax of the out-projection's GEMM input
+        return out, jnp.max(jnp.abs(ctx.astype(jnp.float32)))
     return out
 
 

@@ -228,6 +228,80 @@ def test_int8_serving_shards_over_mesh():
     np.testing.assert_allclose(f_mesh, f_single, rtol=2e-5, atol=2e-5)
 
 
+def test_int8_linear_static_scale():
+    """A quant record carrying a calibrated static activation scale ("xs")
+    skips the per-row dynamic quantization and still tracks fp."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(4, 9, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 96).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(96).astype(np.float32) * 0.1)
+
+    wq = quantize_weight(w)
+    amax = float(jnp.max(jnp.abs(x)))
+    wq_static = dict(wq, xs=jnp.asarray(amax / 127.0, jnp.float32))
+
+    y_fp = x @ w + b
+    y_s = int8_linear(x, wq_static, b)
+    rel = jnp.linalg.norm(y_s - y_fp) / jnp.linalg.norm(y_fp)
+    assert float(rel) < 0.03, float(rel)
+    # static != dynamic records (different activation grids), both close to fp
+    y_d = int8_linear(x, wq, b)
+    rel_d = jnp.linalg.norm(y_s - y_d) / jnp.linalg.norm(y_fp)
+    assert float(rel_d) < 0.03, float(rel_d)
+
+
+def test_calibrated_static_tower_features_agree():
+    """calibrate_visual_amax -> quantize_clip_params(static_amax=...): the
+    static-scale int8 tower tracks the fp features as well as dynamic int8
+    on in-distribution inputs."""
+    from fsvlm_tpu.ops.quant import calibrate_visual_amax
+
+    cfg = ARCHS["test-tiny"]
+    params = jax.tree.map(jnp.asarray, random_clip_params(cfg, seed=0))
+    rng = np.random.RandomState(11)
+    cal = [jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32) * 0.5)
+           for _ in range(3)]
+    amax = calibrate_visual_amax(params, cfg, cal, compute_dtype=jnp.float32)
+    n_layers = params["visual"]["blocks"]["ln_1"]["scale"].shape[0]
+    assert amax.shape == (n_layers, 4)
+    assert bool(jnp.all(amax > 0))
+
+    qp = quantize_clip_params(params, towers=("visual",),
+                              static_amax={"visual": amax})
+    rec = qp["visual"]["blocks"]["attn"]["w_qkv"]
+    assert is_quantized(rec) and rec["xs"].shape == (n_layers,)
+
+    imgs = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32) * 0.5)
+    f_fp = encode_image(params, cfg, imgs)
+    f_s = encode_image(qp, cfg, imgs)
+    cos = jnp.sum(f_fp * f_s, axis=-1) / (
+        jnp.linalg.norm(f_fp, axis=-1) * jnp.linalg.norm(f_s, axis=-1))
+    assert float(jnp.min(cos)) > 0.985, np.asarray(cos)
+
+
+def test_engine_int8_static_config(tmp_path):
+    """MODEL.QUANT_INT8_STATIC reaches the engine eval hook: the frozen eval
+    tower's records carry per-layer static scales calibrated from the test
+    loader."""
+    from test_coop_end2end import make_cfg
+
+    from fsvlm_tpu.engine import build_trainer
+    import fsvlm_tpu.trainers  # noqa: F401
+
+    cfg = make_cfg(tmp_path, **{"MODEL.QUANT_INT8": True})
+    cfg.defrost()
+    cfg.MODEL.QUANT_INT8_STATIC = True
+    cfg.MODEL.QUANT_INT8_CALIB_BATCHES = 2
+    cfg.freeze()
+    t = build_trainer(cfg)
+    fe = t._get_frozen_eval()
+    rec = fe["clip"]["visual"]["blocks"]["attn"]["w_qkv"]
+    assert is_quantized(rec) and "xs" in rec
+    assert bool(jnp.all(rec["xs"] > 0))
+    acc = t.test()
+    assert acc == acc  # serving runs end-to-end (NaN guard)
+
+
 def test_zsclip_serving_int8_top1_agreement(tmp_path):
     """ZeroshotCLIP under MODEL.QUANT_INT8: logits close, top-1 agrees."""
     from fsvlm_tpu.config import get_cfg_default

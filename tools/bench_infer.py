@@ -38,6 +38,9 @@ INT8 = os.environ.get("BENCH_INT8", "0") == "1"  # W8A8 image tower (ops/quant.p
 # only — halves the dynamic act-quant overhead per layer)
 INT8_FAMILIES = tuple(
     os.environ.get("BENCH_INT8_FAMILIES", "attn,mlp").split(","))
+# BENCH_INT8_STATIC=1: calibrated static per-tensor activation scales —
+# removes the per-row dynamic act-quant reductions (verdict r3 item 5)
+INT8_STATIC = os.environ.get("BENCH_INT8_STATIC", "0") == "1"
 
 
 def main():
@@ -73,10 +76,24 @@ def main():
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
 
     if INT8:
-        from fsvlm_tpu.ops.quant import quantize_clip_params
+        from fsvlm_tpu.ops.quant import (
+            calibrate_visual_amax, quantize_clip_params)
 
+        static_amax = None
+        if INT8_STATIC:
+            rng_c = np.random.RandomState(7)
+            res_c = clip_cfg.image_resolution
+            cal = [
+                normalize_only(jnp.asarray(rng_c.randint(
+                    0, 256, (32, res_c, res_c, 3), dtype=np.uint8)),
+                    out_size=res_c)
+                for _ in range(4)
+            ]
+            static_amax = {"visual": calibrate_visual_amax(
+                params, clip_cfg, cal, compute_dtype=dtype)}
         params = quantize_clip_params(
-            params, towers=("visual",), families=INT8_FAMILIES)
+            params, towers=("visual",), families=INT8_FAMILIES,
+            static_amax=static_amax)
 
     res = clip_cfg.image_resolution
 
@@ -121,7 +138,9 @@ def main():
                 json.dumps(
                     {
                         "metric": f"zero-shot {ARCH} serving throughput (one chip)"
-                        + (f" [int8:{','.join(INT8_FAMILIES)}]" if INT8 else ""),
+                        + (f" [int8:{','.join(INT8_FAMILIES)}"
+                           f"{':static' if INT8_STATIC else ''}]"
+                           if INT8 else ""),
                         "batch": B,
                         "classes": N_CLASSES,
                         "value": round(img_s, 1),

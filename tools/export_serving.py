@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
                      classnames=None, params=None, seed=0,
-                     int8_families=("attn", "mlp")):
+                     int8_families=("attn", "mlp"), int8_static=False):
     """Returns (serve_fn, params) where serve_fn(params, uint8 images) ->
     (top1 ids, logits).  params are the (optionally quantized) CLIP params.
     """
@@ -55,10 +55,25 @@ def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
 
     if int8:
-        from fsvlm_tpu.ops.quant import quantize_clip_params
+        from fsvlm_tpu.ops.quant import (
+            calibrate_visual_amax, quantize_clip_params)
 
+        static_amax = None
+        if int8_static:
+            # calibration batches: synthetic normalized pixels (the export
+            # tool has no dataset; real deployments calibrate via
+            # MODEL.QUANT_INT8_STATIC through the engine instead)
+            import numpy as _np
+            rng_c = _np.random.RandomState(7)
+            r = cfg.image_resolution
+            cal = [normalize_only(jnp.asarray(rng_c.randint(
+                0, 256, (32, r, r, 3), dtype=_np.uint8)), out_size=r)
+                for _ in range(4)]
+            static_amax = {"visual": calibrate_visual_amax(
+                params, cfg, cal, compute_dtype=dtype)}
         params = quantize_clip_params(
-            params, towers=("visual",), families=int8_families)
+            params, towers=("visual",), families=int8_families,
+            static_amax=static_amax)
 
     res = cfg.image_resolution
 
@@ -73,14 +88,15 @@ def build_serving_fn(arch, n_classes, dtype_name="float32", int8=False,
 
 def export_serving(arch, n_classes, batch, out_path, int8=False,
                    dtype_name="float32", classnames=None, params=None,
-                   int8_families=("attn", "mlp")):
+                   int8_families=("attn", "mlp"), int8_static=False):
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     serve, params, res = build_serving_fn(
         arch, n_classes, dtype_name=dtype_name, int8=int8,
-        classnames=classnames, params=params, int8_families=int8_families)
+        classnames=classnames, params=params, int8_families=int8_families,
+        int8_static=int8_static)
 
     param_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
@@ -102,6 +118,9 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--int8-families", default="attn,mlp",
                     help="GEMM families to quantize: attn,mlp | mlp")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="calibrated static activation scales (no per-row "
+                         "dynamic act-quant in the serving graph)")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
@@ -110,7 +129,8 @@ def main():
     _, nbytes = export_serving(
         args.arch, args.classes, args.batch, args.out, int8=args.int8,
         dtype_name="bfloat16" if args.bf16 else "float32",
-        int8_families=tuple(args.int8_families.split(",")))
+        int8_families=tuple(args.int8_families.split(",")),
+        int8_static=args.int8_static)
     print(f"wrote {args.out} ({nbytes / 1e6:.2f} MB, arch={args.arch}, "
           f"classes={args.classes}, batch={args.batch}, int8={args.int8})")
 
