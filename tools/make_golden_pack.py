@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Generate the committed golden pack (tests/golden_pack/*.npz).
+
+Parity evidence otherwise requires the read-only reference checkout + torch
+at test time (tests/reference_oracle.py).  This tool — run once on a box
+that HAS the checkout — freezes three oracle surfaces into small committed
+artifacts so the proof survives the reference's removal
+(tests/test_golden_pack.py replays them with zero reference dependency):
+
+  tokenizer.npz          ids from the reference SimpleTokenizer/clip.tokenize
+                         for the shared TEXTS list
+  text_tower_blocks.npz  per-block activations of a seeded tiny reference
+                         CLIP text tower (saved_features, clip/model.py:340)
+                         + the torch state dict that produced them
+  coop_trajectory.npz    10-step CoOp trace driven through the REAL reference
+                         forward_backward (coop.py:437-459) + dassl optim:
+                         losses, ctx trajectory, and the shared weights
+
+Usage:  python tools/make_golden_pack.py   (writes tests/golden_pack/)
+"""
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+import numpy as np  # noqa: E402
+
+OUT_DIR = os.path.join(ROOT, "tests", "golden_pack")
+
+
+def make_tokenizer_pack():
+    from reference_oracle import import_reference_clip
+    from test_tokenizer import TEXTS
+
+    clip = import_reference_clip()
+    from clip.simple_tokenizer import SimpleTokenizer
+
+    ref = SimpleTokenizer()
+    texts = [t for t in TEXTS if t]
+    arrays = {"tokenize_ids": clip.tokenize(texts).numpy().astype(np.int32)}
+    for i, t in enumerate(texts):
+        arrays[f"encode_{i}"] = np.asarray(ref.encode(t), np.int32)
+    arrays["n_texts"] = np.asarray(len(texts), np.int32)
+    np.savez_compressed(os.path.join(OUT_DIR, "tokenizer.npz"), **arrays)
+    print(f"tokenizer.npz: {len(texts)} texts")
+
+
+def make_text_tower_pack():
+    """Same construction as test_per_block_goldens.py (torch seed 3)."""
+    import torch
+
+    from reference_oracle import import_reference_clip
+
+    import_reference_clip()
+    from clip.model import CLIP
+
+    from fsvlm_tpu.models.clip.tokenizer import tokenize
+
+    torch.manual_seed(3)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model = CLIP(64, 32, 4, 128, 16, 77, 49408, 128, 2, 4, design).eval()
+
+    ids = tokenize(["a photo of a cat.", "itap of a dog."])
+    with torch.no_grad():
+        x = model.token_embedding(torch.from_numpy(ids).long())
+        emb = x.numpy()
+        x = (x + model.positional_embedding).permute(1, 0, 2)
+        model.transformer(x)
+    goldens = np.stack(
+        [f.permute(1, 0, 2).numpy() for f in model.transformer.saved_features]
+    )
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+
+    params, cfg = clip_params_from_state_dict(dict(model.state_dict()))
+    arrays = {
+        "ids": ids,
+        "emb": emb,
+        "block_outputs": goldens,
+        "positional_embedding": params["text"]["positional_embedding"],
+        "n_heads": np.asarray(cfg.transformer_heads, np.int32),
+    }
+    # only the converted text blocks (the test replays from `emb`; the
+    # visual tower and 49408-row token embedding would 5x the artifact)
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        params["text"]["blocks"])
+    for path, leaf in flat:
+        key = "/".join(p.key for p in path)
+        arrays[f"blk.{key}"] = np.asarray(leaf)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "text_tower_blocks.npz"), **arrays)
+    print(f"text_tower_blocks.npz: {goldens.shape[0]} blocks")
+
+
+def make_coop_trajectory_pack():
+    """The ce variant of test_coop_trajectory_parity's reference side."""
+    import torch
+
+    from reference_oracle import import_reference_trainers
+    from test_trajectory_parity import (
+        CLASSNAMES,
+        N_EPOCHS,
+        STEPS_PER_EPOCH,
+        _batches,
+        _ref_trainer_shim,
+        _shared_cfg,
+        _tiny_torch_clip,
+    )
+
+    import_reference_trainers()
+    import trainers.coop as ref_coop
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = "/tmp/golden_pack_coop"
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.TRAINER.COOP.N_CTX = 4
+    cfg.TRAINER.COOP.CTX_INIT = "a photo of a"
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.TRAINER.COOP.CSC = False
+    cfg.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
+    cfg.TRAINER.COOP.LOSS_TYPE = "ce"
+    cfg.freeze()
+
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    torch_model = _tiny_torch_clip(design)
+    batches = _batches()
+
+    model = ref_coop.CustomCLIP(cfg, CLASSNAMES, torch_model)
+    for name, p in model.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_(False)
+    model.train()
+    shim = _ref_trainer_shim(ref_coop.CoOp, cfg, model, model.prompt_learner)
+
+    losses, ctxs = [], []
+    for ep in range(N_EPOCHS):
+        for bi in range(STEPS_PER_EPOCH):
+            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+            shim.batch_idx = bi
+            summary = shim.forward_backward({
+                "img": torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                "label": torch.from_numpy(labels),
+            })
+            losses.append(summary["loss"])
+            ctxs.append(model.prompt_learner.ctx.detach().numpy().copy())
+
+    arrays = {
+        "losses": np.asarray(losses, np.float64),
+        "ctx": np.stack(ctxs),
+    }
+    for k, v in torch_model.state_dict().items():
+        arrays[f"sd.{k}"] = v.numpy()
+    # sparsify the 49408-row token embedding: the replay only reads the
+    # rows of the prompt/classname tokens (build_prompt_context), so every
+    # other row compresses to nothing as zeros
+    from fsvlm_tpu.models.clip.tokenizer import tokenize as our_tokenize
+
+    used = np.unique(our_tokenize(
+        [f"a photo of a {c}." for c in CLASSNAMES] + ["a photo of a"]))
+    emb = arrays["sd.token_embedding.weight"]
+    sparse = np.zeros_like(emb)
+    sparse[used] = emb[used]
+    arrays["sd.token_embedding.weight"] = sparse
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "coop_trajectory.npz"), **arrays)
+    print(f"coop_trajectory.npz: {len(losses)} steps, "
+          f"{used.size} token rows kept")
+
+
+def main():
+    from reference_oracle import reference_available
+
+    if not reference_available():
+        raise SystemExit("reference checkout not available; nothing to do")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_tokenizer_pack()
+    make_text_tower_pack()
+    make_coop_trajectory_pack()
+    for f in sorted(os.listdir(OUT_DIR)):
+        p = os.path.join(OUT_DIR, f)
+        print(f"  {f}: {os.path.getsize(p) / 1e3:.1f} kB")
+
+
+if __name__ == "__main__":
+    main()
