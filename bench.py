@@ -49,6 +49,9 @@ REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # W8A8 int8 frozen teacher (TRAINER.PROMPTSRC.INT8_TEACHER equivalent):
 # reference semantics (teacher sees the augmented batch) at int8 precision
 INT8_TEACHER = os.environ.get("BENCH_INT8_TEACHER", "0") == "1"
+# BENCH_INT8_STATIC=1: calibrated static activation scales for the int8
+# teacher lanes (no per-row dynamic act-quant in the teacher graph)
+INT8_STATIC = os.environ.get("BENCH_INT8_STATIC", "0") == "1"
 # Which shipped configuration the ONE JSON line's "value" reports:
 #   cached  (default) — TRAINER.PROMPTSRC.CACHED_TEACHER (per-epoch teacher
 #            features; FLOP removal, on-chip validated); the
@@ -143,12 +146,28 @@ def main():
     tx = optax.sgd(0.0025, momentum=0.9)
     opt_state = tx.init(learnable)
 
+    def _teacher_static_amax(fclip):
+        """BENCH_INT8_STATIC: calibrate static activation scales over a few
+        synthetic batches shaped like the bench inputs."""
+        if not INT8_STATIC:
+            return None
+        from fsvlm_tpu.ops.quant import calibrate_visual_amax
+
+        res = clip_cfg.image_resolution
+        rng_c = np.random.RandomState(11)
+        cal = [jnp.asarray(
+            rng_c.randn(min(BATCH, 16), res, res, 3).astype(np.float32))
+            for _ in range(3)]
+        return {"visual": calibrate_visual_amax(
+            fclip, clip_cfg, cal, compute_dtype=dtype)}
+
     if INT8_TEACHER:
         from fsvlm_tpu.models.clip import encode_image
         from fsvlm_tpu.ops.quant import quantize_clip_params
 
         frozen["clip_teacher"] = quantize_clip_params(
-            frozen["clip"], towers=("visual",))
+            frozen["clip"], towers=("visual",),
+            static_amax=_teacher_static_amax(frozen["clip"]))
 
     def loss_fn(learnable, frozen, images, labels):
         scale = jnp.exp(frozen["clip"]["logit_scale"])
@@ -418,7 +437,8 @@ def main():
                 frozen_i8 = dict(
                     frozen,
                     clip_teacher=quantize_clip_params(
-                        frozen["clip"], towers=("visual",)),
+                        frozen["clip"], towers=("visual",),
+                        static_amax=_teacher_static_amax(frozen["clip"])),
                 )
 
                 def loss_i8(learnable, frozen, images, labels):
@@ -469,6 +489,7 @@ def main():
                     assert np.isfinite(float(loss))
                 extra["int8_teacher_img_s"] = round(
                     BATCH * scan_k * n_calls / (time.time() - t0), 2)
+                extra["int8_act"] = "static" if INT8_STATIC else "dynamic"
             except Exception as e:
                 extra["int8_teacher_img_s"] = None
                 extra["ladder_note"] = (extra.get("ladder_note", "")

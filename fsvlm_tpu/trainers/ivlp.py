@@ -96,11 +96,24 @@ class IVLP(SimpleTrainer):
         if int8_teacher:
             # int8 copy of the frozen visual tower for the stop-gradient KD
             # teacher pass (TPU extension; float leaves shared, ops/quant.py)
-            from ..ops.quant import quantize_clip_params
+            from ..ops.quant import calibrate_visual_amax, quantize_clip_params
 
-            print("[IVLP] int8 KD teacher image tower (INT8_TEACHER)")
+            static_amax = None
+            if bool(getattr(cfg.MODEL, "QUANT_INT8_STATIC", False)):
+                n_cal = int(getattr(cfg.MODEL, "QUANT_INT8_CALIB_BATCHES", 4))
+
+                def _cal_batches():
+                    for i, b in enumerate(self.train_loader_x):
+                        if i >= n_cal:
+                            break
+                        yield self.parse_batch_train(b)["img"]
+
+                static_amax = {"visual": calibrate_visual_amax(
+                    clip_params, clip_cfg, _cal_batches())}
+            print("[IVLP] int8 KD teacher image tower (INT8_TEACHER, "
+                  f"act={'static' if static_amax else 'dynamic'})")
             self.frozen["clip_teacher"] = quantize_clip_params(
-                clip_params, towers=("visual",))
+                clip_params, towers=("visual",), static_amax=static_amax)
 
         dtype = self.compute_dtype()
         clip_cfg_ = clip_cfg

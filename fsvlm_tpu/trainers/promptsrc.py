@@ -67,11 +67,28 @@ class PromptSRC(IVLP):
         if int8_teacher:
             # int8 copy of the frozen visual tower for the stop-gradient
             # teacher pass only (float leaves are shared; ops/quant.py)
-            from ..ops.quant import quantize_clip_params
+            from ..ops.quant import calibrate_visual_amax, quantize_clip_params
 
-            print("[PromptSRC] int8 teacher image tower (INT8_TEACHER)")
+            static_amax = None
+            if bool(getattr(cfg.MODEL, "QUANT_INT8_STATIC", False)):
+                # static activation scales calibrated over a few train
+                # batches: removes the per-row dynamic act-quant reductions
+                # from every teacher step (the cost that capped the dynamic
+                # int8 teacher at +5%, PERF.md)
+                n_cal = int(getattr(cfg.MODEL, "QUANT_INT8_CALIB_BATCHES", 4))
+
+                def _cal_batches():
+                    for i, b in enumerate(self.train_loader_x):
+                        if i >= n_cal:
+                            break
+                        yield self.parse_batch_train(b)["img"]
+
+                static_amax = {"visual": calibrate_visual_amax(
+                    clip_params, clip_cfg, _cal_batches())}
+            print("[PromptSRC] int8 teacher image tower (INT8_TEACHER, "
+                  f"act={'static' if static_amax else 'dynamic'})")
             self.frozen["clip_teacher"] = quantize_clip_params(
-                clip_params, towers=("visual",))
+                clip_params, towers=("visual",), static_amax=static_amax)
 
         self.loss_type = node.LOSS_TYPE
         alpha = None

@@ -7,7 +7,7 @@ cd "$(dirname "$0")/../.."
 DATASET=$1; CFG=${2:-vit_b16_ep50}; DATA=${3:-${DATA:-~/data}}
 NCTX=${NCTX:-16}; CSC=${CSC:-False}; CTP=${CTP:-end}
 SHOTS=${SHOTS:-16}; LOADEP=${LOADEP:-50}
-for SEED in 1 2 3; do
+for SEED in ${SEEDS:-1 2 3}; do
   python train.py --root "${DATA}" --seed "${SEED}" --trainer CoOp \
       --dataset-config-file configs/datasets/${DATASET}.yaml \
       --config-file configs/trainers/CoOp/${CFG}.yaml \

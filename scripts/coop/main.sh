@@ -7,7 +7,7 @@
 cd "$(dirname "$0")/../.."
 DATASET=$1; SHOTS=$2; CFG=${3:-vit_b16_ep50}; DATA=${4:-${DATA:-~/data}}
 NCTX=${NCTX:-16}; CSC=${CSC:-False}; CTP=${CTP:-end}
-for SEED in 1 2 3; do
+for SEED in ${SEEDS:-1 2 3}; do
   DIR=${OUT_ROOT:-output}/${DATASET}/CoOp/${CFG}_${SHOTS}shots/nctx${NCTX}_csc${CSC}_ctp${CTP}/seed${SEED}
   if [ -d "${DIR}" ]; then echo "Results are available in ${DIR}. Skip"; continue; fi
   python train.py --root "${DATA}" --seed "${SEED}" --trainer CoOp \

@@ -33,7 +33,7 @@ repeat_value() {
   echo "${out#,}"
 }
 
-for TAIL_SHOTS in 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
+for TAIL_SHOTS in ${TAIL_SWEEP:-1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16}; do
   HEAD=$(repeat_value 16 "${HEAD_N}")
   TAIL=$(repeat_value "${TAIL_SHOTS}" "${TAIL_N}")
   PER_CLASS_SHOTS="[${HEAD},${TAIL}]"

@@ -23,6 +23,10 @@ PAIRS=(
   "16 0" "15 1" "14 2" "13 3" "12 4" "11 5" "10 6" "9 7" "8 8"
   "8 0" "7 1" "6 2" "5 3" "4 4" "4 0" "3 1" "2 2"
 )
+# CI/bounded runs: SETTING_B_PAIRS="16 0;8 8" overrides the sweep
+if [ -n "${SETTING_B_PAIRS}" ]; then
+  IFS=';' read -ra PAIRS <<< "${SETTING_B_PAIRS}"
+fi
 
 for pair in "${PAIRS[@]}"; do
   read -r HEAD_SHOTS TAIL_SHOTS <<< "${pair}"

@@ -7,7 +7,7 @@
 cd "$(dirname "$0")/../.."
 DATASET=$1; SHOTS=$2; DATA=${3:-${DATA:-~/data}}
 CFG=${CFG:-vit_b16_c2_ep50_batch4_4+4ctx_few_shot}
-for SEED in 1 2 3; do
+for SEED in ${SEEDS:-1 2 3}; do
   DIR=${OUT_ROOT:-output}/${DATASET}/PromptSRC/${CFG}_${SHOTS}shots/seed${SEED}
   if [ -d "${DIR}" ]; then echo "The results exist at ${DIR}"; continue; fi
   python train.py --root "${DATA}" --seed "${SEED}" --trainer PromptSRC \

@@ -4,6 +4,6 @@
 # usage: bash scripts/promptsrc/xd_eval_dg_suite.sh <seed> [data_root]
 cd "$(dirname "$0")/../.."
 SEED=$1; DATA=${2:-${DATA:-~/data}}
-for DS in imagenetv2 imagenet_sketch imagenet_a imagenet_r; do
+for DS in ${DG_DATASETS:-imagenetv2 imagenet_sketch imagenet_a imagenet_r}; do
   bash scripts/promptsrc/xd_test.sh "${DS}" "${SEED}" "${DATA}" || exit 1
 done

@@ -63,6 +63,35 @@ def test_int8_teacher_trains_and_tracks_fp(tmp_path):
     t.train()  # full loop end to end
 
 
+def test_int8_teacher_static_scales(tmp_path):
+    """MODEL.QUANT_INT8_STATIC + INT8_TEACHER: the teacher tower carries
+    per-layer calibrated static activation scales and the loss still tracks
+    the fp teacher."""
+    cfg = _cfg(tmp_path, **{
+        "TRAINER.PROMPTSRC.INT8_TEACHER": True,
+        "MODEL.QUANT_INT8_STATIC": True,
+        "MODEL.QUANT_INT8_CALIB_BATCHES": 2,
+    })
+    cfg.freeze()
+    t = build_trainer(cfg)
+    q = t.frozen["clip_teacher"]["visual"]["blocks"]["attn"]["w_qkv"]
+    assert isinstance(q, dict) and "xs" in q
+    assert bool(np.all(np.asarray(q["xs"]) > 0))
+
+    import jax
+
+    batch = next(iter(t.train_loader_x))
+    loss_s, _ = t.loss_fn(t.params, t.frozen, batch, jax.random.key(0))
+
+    cfg_fp = _cfg(tmp_path)
+    cfg_fp.freeze()
+    t_fp = build_trainer(cfg_fp)
+    loss_fp, _ = t_fp.loss_fn(
+        t_fp.params, t_fp.frozen, next(iter(t_fp.train_loader_x)),
+        jax.random.key(0))
+    assert abs(float(loss_s) - float(loss_fp)) / abs(float(loss_fp)) < 0.05
+
+
 def test_ivlp_kd_int8_teacher_smoke(tmp_path):
     cfg = ivlp_cfg(
         tmp_path,

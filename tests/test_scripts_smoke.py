@@ -17,6 +17,8 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TINY = "../tests/synthetic_tiny"  # resolves from any trainer's config dir
 
+pytestmark = pytest.mark.slow
+
 
 def run_script(script, args, extra_env, timeout=900):
     env = dict(os.environ)

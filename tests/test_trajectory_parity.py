@@ -20,9 +20,12 @@ from reference_oracle import (
     reference_available,
 )
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference checkout not available"
+    ),
+]
 
 N_EPOCHS = 5
 STEPS_PER_EPOCH = 2

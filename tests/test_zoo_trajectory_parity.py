@@ -26,9 +26,12 @@ import pytest
 
 from reference_oracle import import_reference_trainers, reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not reference_available(), reason="reference checkout not available"
+    ),
+]
 
 N_EPOCHS = 4
 STEPS_PER_EPOCH = 2

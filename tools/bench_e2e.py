@@ -77,6 +77,10 @@ def main():
     # reproduces the round-2 host-schedule path)
     cfg.TRAIN.DEVICE_SCHEDULE = os.environ.get("BENCH_DEVICE_SCHEDULE", "on") != "off"
     cfg.TRAIN.REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+    # CoCoOp at ImageNet-base scale: BENCH_CLASS_CHUNK forces the
+    # class-chunked text scan (0 = auto past BATCHED_TEXT_LIMIT)
+    cfg.TRAINER.COCOOP.CLASS_CHUNK = int(
+        os.environ.get("BENCH_CLASS_CHUNK", "0"))
     cfg.freeze()
 
     trainer = build_trainer(cfg)
