@@ -6,7 +6,7 @@
 #      TRAIN_SUB (default all), LOADEP (default 10), OUT_ROOT
 cd "$(dirname "$0")/../.."
 DATASET=$1; SEED=$2
-CFG=${3:-vit_b16_c4_ep10_batch1_ctxv1}; DATA=${4:-${DATA:-~/data}}
+CFG=${3:-${CFG:-vit_b16_c4_ep10_batch1_ctxv1}}; DATA=${4:-${DATA:-~/data}}
 SHOTS=${SHOTS:-16}; PER_CLASS_SHOTS=${PER_CLASS_SHOTS:-[]}
 SUB=${SUB:-all}; TRAIN_SUB=${TRAIN_SUB:-all}; LOADEP=${LOADEP:-10}
 FOCAL=$([ "${USE_FOCAL:-0}" = 1 ] && echo True || echo False)

@@ -4,7 +4,7 @@
 # usage: bash scripts/coop/eval.sh <dataset> [config] [data_root]
 # env overrides: NCTX, CSC, CTP, SHOTS, LOADEP
 cd "$(dirname "$0")/../.."
-DATASET=$1; CFG=${2:-vit_b16_ep50}; DATA=${3:-${DATA:-~/data}}
+DATASET=$1; CFG=${2:-${CFG:-vit_b16_ep50}}; DATA=${3:-${DATA:-~/data}}
 NCTX=${NCTX:-16}; CSC=${CSC:-False}; CTP=${CTP:-end}
 SHOTS=${SHOTS:-16}; LOADEP=${LOADEP:-50}
 for SEED in ${SEEDS:-1 2 3}; do

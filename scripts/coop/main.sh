@@ -5,7 +5,7 @@
 # usage: bash scripts/coop/main.sh <dataset> <shots> [config] [data_root]
 # env overrides: NCTX, CSC, CTP
 cd "$(dirname "$0")/../.."
-DATASET=$1; SHOTS=$2; CFG=${3:-vit_b16_ep50}; DATA=${4:-${DATA:-~/data}}
+DATASET=$1; SHOTS=$2; CFG=${3:-${CFG:-vit_b16_ep50}}; DATA=${4:-${DATA:-~/data}}
 NCTX=${NCTX:-16}; CSC=${CSC:-False}; CTP=${CTP:-end}
 for SEED in ${SEEDS:-1 2 3}; do
   DIR=${OUT_ROOT:-output}/${DATASET}/CoOp/${CFG}_${SHOTS}shots/nctx${NCTX}_csc${CSC}_ctp${CTP}/seed${SEED}

@@ -6,7 +6,7 @@
 # env: SHOTS, PER_CLASS_SHOTS, USE_FOCAL (0/1), SAMPLER, SUB, OUT_ROOT
 cd "$(dirname "$0")/../.."
 DATASET=$1; SEED=$2
-CFG=${3:-vit_b16_c2_ep20_batch4_4+4ctx_kd}; DATA=${4:-${DATA:-~/data}}
+CFG=${3:-${CFG:-vit_b16_c2_ep20_batch4_4+4ctx_kd}}; DATA=${4:-${DATA:-~/data}}
 SHOTS=${SHOTS:-16}; PER_CLASS_SHOTS=${PER_CLASS_SHOTS:-[]}
 SAMPLER=${SAMPLER:-WeightedClassSampler}; SUB=${SUB:-all}
 FOCAL=$([ "${USE_FOCAL:-0}" = 1 ] && echo True || echo False)

@@ -2,7 +2,7 @@
 # LinearProbeCLIP base-to-novel training on the base class half.
 # usage: bash scripts/linear_probe/base2new_train.sh <dataset> <seed> [config] [data_root]
 cd "$(dirname "$0")/../.."
-DATASET=$1; SEED=$2; CFG=${3:-vit_b16_ep50}; DATA=${4:-${DATA:-~/data}}
+DATASET=$1; SEED=$2; CFG=${3:-${CFG:-vit_b16_ep50}}; DATA=${4:-${DATA:-~/data}}
 DIR=${OUT_ROOT:-output}/base2new/train_base/${DATASET}/shots_16/LinearProbeCLIP/${CFG}/seed${SEED}
 python train.py --root "${DATA}" --seed "${SEED}" --trainer LinearProbeCLIP \
     --dataset-config-file configs/datasets/${DATASET}.yaml \

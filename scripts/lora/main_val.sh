@@ -8,7 +8,7 @@
 # env overrides: SAMPLER (RandomSampler|WeightedClassSampler), ENCODER
 #   (both|vision|text), TEXT_W, IMAGE_W, LOGITS_W
 cd "$(dirname "$0")/../.."
-DATASET=$1; SEED=$2; SHOTS=${3:-16}; CFG=${4:-vit_b16_ep50}; DATA=${5:-${DATA:-~/data}}
+DATASET=$1; SEED=$2; SHOTS=${3:-16}; CFG=${4:-${CFG:-vit_b16_ep50}}; DATA=${5:-${DATA:-~/data}}
 SAMPLER=${SAMPLER:-RandomSampler}
 ENCODER=${ENCODER:-both}
 TEXT_W=${TEXT_W:-25}; IMAGE_W=${IMAGE_W:-10}; LOGITS_W=${LOGITS_W:-1.0}

@@ -6,7 +6,7 @@
 #      TRAIN_SUB (default all), LOADEP (default 5), OUT_ROOT
 cd "$(dirname "$0")/../.."
 DATASET=$1; SEED=$2
-CFG=${3:-vit_b16_c2_ep5_batch4_2ctx}; DATA=${4:-${DATA:-~/data}}
+CFG=${3:-${CFG:-vit_b16_c2_ep5_batch4_2ctx}}; DATA=${4:-${DATA:-~/data}}
 SHOTS=${SHOTS:-16}; PER_CLASS_SHOTS=${PER_CLASS_SHOTS:-[]}
 SUB=${SUB:-all}; TRAIN_SUB=${TRAIN_SUB:-all}; LOADEP=${LOADEP:-5}
 FOCAL=$([ "${USE_FOCAL:-0}" = 1 ] && echo True || echo False)

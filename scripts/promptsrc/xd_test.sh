@@ -10,6 +10,7 @@ DATASET=$1
 SEED=$2
 CFG=${CFG:-vit_b16_c2_ep20_batch4_4+4ctx}
 SHOTS=16
+LOADEP=${LOADEP:-20}
 
 DIR=${OUT_ROOT:-output}/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/${DATASET}/seed${SEED}
 python train.py \
@@ -20,5 +21,5 @@ python train.py \
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir "${DIR}" \
     --model-dir ${OUT_ROOT:-output}/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED} \
-    --load-epoch 20 \
+    --load-epoch ${LOADEP} \
     --eval-only

@@ -37,42 +37,58 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure_family(jax, jnp, m, k, n, batch, iters, dtype):
-    """Achieved TF/s of the (batch x (M,K)@(K,N) -> (M,N)@(N,K)) ping-pong."""
+def measure_family(jax, jnp, m, k, n, batch, iters, dtype, par=None):
+    """Achieved TF/s of the (batch x (M,K)@(K,N) -> (M,N)@(N,K)) ping-pong.
+
+    ``par`` independent chains run per scan iteration: a single dependent
+    chain exposes each GEMM's full latency back-to-back, which measures
+    latency, not throughput — small GEMMs read absurdly low (first
+    calibration run: text_proj "1.2 TF/s", 16 us of work behind ~100 us of
+    serialization) and even the large MLP family lost ~2x.  A roofline
+    denominator needs the per-shape THROUGHPUT the step's fused program
+    actually gets (its GEMMs overlap with neighbours); independent chains
+    restore that pipelining while keeping every GEMM's exact shape.
+    """
     import numpy as np
 
+    if par is None:
+        par = int(os.environ.get("CEIL_PAR", "8"))
+        # cap the working set of huge families (the big shapes pipeline
+        # fine with fewer chains and par*X must fit comfortably in HBM)
+        while par > 2 and par * batch * m * max(k, n) * 2 > 1 << 30:
+            par //= 2
     rng = np.random.RandomState(0)
 
     def mk(*shape):
         return jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dtype)
 
     if batch == 1:
-        x0, w1, w2 = mk(m, k), mk(k, n), mk(n, k)
+        xs, w1, w2 = [mk(m, k) for _ in range(par)], mk(k, n), mk(n, k)
     else:
-        x0, w1, w2 = mk(batch, m, k), mk(batch, k, n), mk(batch, n, k)
+        xs = [mk(batch, m, k) for _ in range(par)]
+        w1, w2 = mk(batch, k, n), mk(batch, n, k)
+    # bound the chain's magnitude growth statically (~1.2x/iter at these
+    # randn scales) so the body is PURE GEMMs
+    w2 = w2 * jnp.asarray(1e-3, dtype)
 
     @jax.jit
-    def chain(x, w1, w2):
-        def body(x, _):
-            y = x @ w1
-            x = y @ w2
-            # keep magnitudes bounded without leaving the VPU fast path
-            x = x * jnp.float32(1e-2).astype(x.dtype)
-            return x, ()
+    def chain(xs, w1, w2):
+        def body(xs, _):
+            return [(x @ w1) @ w2 for x in xs], ()
 
-        x, _ = jax.lax.scan(body, x, (), length=iters)
-        return x
+        xs, _ = jax.lax.scan(body, xs, (), length=iters)
+        return xs
 
-    out = chain(x0, w1, w2)  # compile + warmup
-    out.block_until_ready()
-    _ = jax.device_get(out[..., 0, 0])  # force completion through the tunnel
+    out = chain(xs, w1, w2)  # compile + warmup
+    jax.block_until_ready(out)
+    _ = jax.device_get(out[0][..., 0, 0])  # force completion through the tunnel
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         out = chain(out, w1, w2)
-        _ = jax.device_get(out[..., 0, 0])
+        _ = jax.device_get(out[0][..., 0, 0])
     dt = time.time() - t0
-    flops = 2 * 2 * m * k * n * batch * iters * reps  # 2 GEMMs per iter
+    flops = 2 * 2 * m * k * n * batch * iters * reps * par
     return flops / dt / 1e12
 
 
@@ -146,6 +162,10 @@ def main():
 
     ideal_step_ms = sum(r["ideal_ms"] for r in rows)
     ceiling = total / (ideal_step_ms / 1e3) / 1e12
+    # sanity anchor: the round-3 dense-chain number for comparison
+    sanity = measure_family(jax, jnp, 4096, 4096, 4096, 1, iters, dtype,
+                            par=2)
+    print(f"sanity 4096^3 ping-pong (2 chains): {sanity:.1f} TF/s")
     print(f"\nstep GEMM FLOPs: {total/1e9:.1f} GF (true, 2/MAC)")
     print(f"ideal GEMM-only step time: {ideal_step_ms:.2f} ms")
     print(f"composite step-shaped ceiling: {ceiling:.1f} TF/s")
@@ -155,6 +175,7 @@ def main():
         "ideal_step_ms": round(ideal_step_ms, 3),
         "step_gemm_gflops": round(total / 1e9, 2),
         "convention": "true FLOPs (2/MAC), dgrad-only backward",
+        "sanity_dense_4096_tflops": round(sanity, 1),
         "config": {"batch": args.batch, "classes": args.classes,
                    "text_len": text_len, "teacher": args.teacher,
                    "iters": iters, "backend": jax.default_backend()},
