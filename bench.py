@@ -572,8 +572,19 @@ def main():
         try:
             with open(ceiling_path) as f:
                 cal = json.load(f)
-            MEASURED_CEILING_TFLOPS = float(cal["ceiling_tflops"])
-            extra["ceiling_source"] = cal.get("source", "CEILING.json")
+            calcfg = cal.get("config", {})
+            if (calcfg.get("arch", "ViT-B/16") != ARCH
+                    or calcfg.get("batch") != BATCH):
+                # the composite ceiling is shape-specific; quoting a pct
+                # against a mismatched calibration would be meaningless
+                extra["ceiling_note"] = (
+                    f"CEILING.json calibrated for "
+                    f"{calcfg.get('arch', 'ViT-B/16')} bs{calcfg.get('batch')}"
+                    f" — pct omitted for {ARCH} bs{BATCH}")
+                MEASURED_CEILING_TFLOPS = None
+            else:
+                MEASURED_CEILING_TFLOPS = float(cal["ceiling_tflops"])
+                extra["ceiling_source"] = cal.get("source", "CEILING.json")
         except Exception:
             pass
     # step FLOPs from the exact GEMM inventory (fsvlm_tpu/utils/flops.py):
@@ -594,9 +605,10 @@ def main():
         tflops_per_sec = imgs_per_sec / BATCH * flops_per_step / 1e12
         extra["tflops_per_sec"] = round(tflops_per_sec, 2)
         extra["flop_convention"] = "true (2/MAC), dgrad-only bwd"
-        extra["pct_of_measured_ceiling"] = round(
-            100.0 * tflops_per_sec / MEASURED_CEILING_TFLOPS, 1
-        )
+        if MEASURED_CEILING_TFLOPS:
+            extra["pct_of_measured_ceiling"] = round(
+                100.0 * tflops_per_sec / MEASURED_CEILING_TFLOPS, 1
+            )
         extra["pct_of_nominal_197tf"] = round(
             100.0 * tflops_per_sec / 197.0, 1)
 

@@ -48,6 +48,16 @@ def measure_family(jax, jnp, m, k, n, batch, iters, dtype, par=None):
     denominator needs the per-shape THROUGHPUT the step's fused program
     actually gets (its GEMMs overlap with neighbours); independent chains
     restore that pipelining while keeping every GEMM's exact shape.
+
+    Timing discipline (the second calibration-run bug, caught when the
+    composite "ceiling" landed BELOW the step's own achieved GEMM rate):
+    a ``device_get`` per timed rep pays the axon tunnel's RTT (~10-30 ms)
+    per rep, which swamps small families — text_attn read "0.2 TF/s" and
+    its fake 4.5 ms "ideal" pushed ideal_step_ms past the real measured
+    step.  The fix: dispatch all reps asynchronously (they queue and run
+    back-to-back on-device) behind ONE end-of-window fetch, and grow the
+    scan length adaptively until each family's timed window is >=0.5 s of
+    device compute, making that single RTT <=~5 % noise.
     """
     import numpy as np
 
@@ -71,24 +81,36 @@ def measure_family(jax, jnp, m, k, n, batch, iters, dtype, par=None):
     # randn scales) so the body is PURE GEMMs
     w2 = w2 * jnp.asarray(1e-3, dtype)
 
-    @jax.jit
-    def chain(xs, w1, w2):
-        def body(xs, _):
-            return [(x @ w1) @ w2 for x in xs], ()
+    def timed(niters, reps, xs):
+        @jax.jit
+        def chain(xs, w1, w2):
+            def body(xs, _):
+                return [(x @ w1) @ w2 for x in xs], ()
 
-        xs, _ = jax.lax.scan(body, xs, (), length=iters)
-        return xs
+            xs, _ = jax.lax.scan(body, xs, (), length=niters)
+            return xs
 
-    out = chain(xs, w1, w2)  # compile + warmup
-    jax.block_until_ready(out)
-    _ = jax.device_get(out[0][..., 0, 0])  # force completion through the tunnel
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = chain(out, w1, w2)
+        out = chain(xs, w1, w2)  # compile + warmup
+        jax.block_until_ready(out)
         _ = jax.device_get(out[0][..., 0, 0])
-    dt = time.time() - t0
-    flops = 2 * 2 * m * k * n * batch * iters * reps * par
+        t0 = time.time()
+        for _ in range(reps):
+            out = chain(out, w1, w2)  # async: reps pipeline on-device
+        _ = jax.device_get(out[0][..., 0, 0])  # one RTT for the window
+        return time.time() - t0, out
+
+    reps = 3
+    niters = iters
+    # --dry (tiny iters) disables the adaptive window: CPU smoke only
+    # checks plumbing, not rates
+    min_window = (0.0 if iters <= 2 else
+                  float(os.environ.get("CEIL_MIN_WINDOW_S", "0.5")))
+    dt, xs = timed(niters, reps, xs)
+    while dt < min_window and niters < 500_000:
+        niters = min(max(niters * 2, int(niters * 0.8 * min_window
+                                         / max(dt, 1e-3))), 500_000)
+        dt, xs = timed(niters, reps, xs)
+    flops = 2 * 2 * m * k * n * batch * niters * reps * par
     return flops / dt / 1e12
 
 
@@ -176,7 +198,8 @@ def main():
         "step_gemm_gflops": round(total / 1e9, 2),
         "convention": "true FLOPs (2/MAC), dgrad-only backward",
         "sanity_dense_4096_tflops": round(sanity, 1),
-        "config": {"batch": args.batch, "classes": args.classes,
+        "config": {"arch": os.environ.get("BENCH_ARCH", "ViT-B/16"),
+                   "batch": args.batch, "classes": args.classes,
                    "text_len": text_len, "teacher": args.teacher,
                    "iters": iters, "backend": jax.default_backend()},
         "source": "tools/calibrate_ceiling.py (step-shaped GEMM ping-pong)",
