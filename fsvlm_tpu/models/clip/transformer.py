@@ -170,6 +170,13 @@ def transformer(
     import os as _os
 
     unroll = int(_os.environ.get("FSVLM_SCAN_UNROLL", "1"))
+    if splice_kind == "text":
+        # FSVLM_TEXT_SCAN_UNROLL overrides for the text tower only: its
+        # layers are tiny ((C·L, 512) GEMMs ~60 us each), so per-iteration
+        # fusion boundaries dominate — the round-4 roofline measured the
+        # text scan at 26% of its GEMM roofline while vision unrolling was
+        # already measured a loss (round 3).
+        unroll = int(_os.environ.get("FSVLM_TEXT_SCAN_UNROLL", str(unroll)))
     # FSVLM_SCAN_SPLIT_TRANSPOSE=1 lowers the scan's transpose (backward)
     # as two passes (jax _split_transpose), which can schedule the residual
     # re-reads better (perf experiment, numerically identical)

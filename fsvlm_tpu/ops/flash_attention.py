@@ -555,6 +555,9 @@ def _hp_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     k = k_ref[0]
     v = v_ref[0]
     lane = _lane_iota(acc_scr.shape)
+    # the value-side lane mask must be KV-block-shaped: BQ != BK whenever
+    # L exceeds both default blocks (e.g. L=1024 -> BQ 256, BK 512)
+    lane_v = _lane_iota(v.shape)
 
     alphas, pvs, m_news, l_news = [], [], [], []
     for h in range(2):
@@ -571,7 +574,7 @@ def _hp_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         p = jnp.exp(s - m_new)
         l_news.append(l_scr[:, h * _HALF:h * _HALF + 1] * alpha
                       + jnp.sum(p, axis=-1, keepdims=True))
-        hm = (lane[:v.shape[0]] >= h * _HALF) if h else (lane[:v.shape[0]] < _HALF)
+        hm = (lane_v >= _HALF) if h else (lane_v < _HALF)
         pvs.append(jax.lax.dot_general(
             p.astype(v.dtype), jnp.where(hm, v, 0),
             dimension_numbers=(((1,), (0,)), ((), ())),

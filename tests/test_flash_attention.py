@@ -100,6 +100,10 @@ def test_blockwise_gradients_match_reference(L, bq, bk):
         (4, 77, True, 256, 512),    # CLIP text, single block, 2 head pairs
         (2, 201, False, 256, 512),  # CLIP vision+VPT
         (2, 300, True, 128, 128),   # multi-block q AND kv, non-divisible L
+        # BQ != BK with multiple blocks of each (the long-context regime
+        # where the default 256/512 blocks diverge — caught a fwd-kernel
+        # lane-mask bug that crashed the on-chip L=1024 microbench)
+        (2, 640, True, 128, 256),
     ],
 )
 def test_head_packed_matches_reference(H, L, with_mask, bq, bk):
@@ -117,7 +121,8 @@ def test_head_packed_matches_reference(H, L, with_mask, bq, bk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("L,bq,bk", [(77, 256, 512), (300, 128, 128)])
+@pytest.mark.parametrize("L,bq,bk",
+                         [(77, 256, 512), (300, 128, 128), (640, 128, 256)])
 def test_head_packed_gradients_match_reference(L, bq, bk):
     """Packed backward (per-head lse/delta in lane halves, masked-lane
     accumulations) vs autodiff through the reference attention."""
