@@ -171,12 +171,15 @@ def transformer(
 
     unroll = int(_os.environ.get("FSVLM_SCAN_UNROLL", "1"))
     if splice_kind == "text":
-        # FSVLM_TEXT_SCAN_UNROLL overrides for the text tower only: its
-        # layers are tiny ((C·L, 512) GEMMs ~60 us each), so per-iteration
-        # fusion boundaries dominate — the round-4 roofline measured the
-        # text scan at 26% of its GEMM roofline while vision unrolling was
-        # already measured a loss (round 3).
-        unroll = int(_os.environ.get("FSVLM_TEXT_SCAN_UNROLL", str(unroll)))
+        # The text tower unrolls FULLY by default: its layers are tiny
+        # ((C·L, 512) GEMMs ~60 us each), so per-iteration scan fusion
+        # boundaries dominate — the round-4 roofline measured the rolled
+        # text scan at 26% of its GEMM roofline, and full unroll bought
+        # +2.9% on the whole PromptSRC step on chip (980.4 vs 953.0 img/s;
+        # vision unrolling was measured a LOSS in round 3, so this stays
+        # text-only).  FSVLM_TEXT_SCAN_UNROLL=k overrides (1 = rolled).
+        t = _os.environ.get("FSVLM_TEXT_SCAN_UNROLL", "full")
+        unroll = True if t == "full" else int(t)
     # FSVLM_SCAN_SPLIT_TRANSPOSE=1 lowers the scan's transpose (backward)
     # as two passes (jax _split_transpose), which can schedule the residual
     # re-reads better (perf experiment, numerically identical)
