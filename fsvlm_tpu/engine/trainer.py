@@ -452,6 +452,13 @@ class SimpleTrainer:
             cache is not None
             and num_batches > 0
             and fuse_mode not in ("off", "false", "0", "no")
+            # a trainer may veto auto-fusion when its per-step cost makes a
+            # whole-epoch device program unsurvivable (e.g. CoCoOp past the
+            # batched-text limit); an explicit EPOCH_FUSE="on" overrides
+            and not (
+                fuse_mode == "auto"
+                and getattr(self, "_epoch_fuse_auto_off", False)
+            )
             and jax.process_count() == 1
             and getattr(self, "_train_epoch_resident", None) is not None
         ):

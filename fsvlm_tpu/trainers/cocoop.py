@@ -112,6 +112,21 @@ class CoCoOp(SimpleTrainer):
         n_cls = len(classnames)
         class_chunk = int(getattr(node, "CLASS_CHUNK", 0))
 
+        # Hint for TRAIN.EPOCH_FUSE="auto": past the batched-text limit a
+        # CoCoOp step is ~seconds of device time (chunked B*n_cls text
+        # fwd+bwd), and fusing a whole epoch of those into ONE device
+        # program exceeds what the TPU worker survives (observed at 500
+        # classes x bs 32: worker crash).  Auto mode falls back to per-step
+        # dispatch; an explicit EPOCH_FUSE="on" still forces fusion.
+        train_bs = int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
+        if train_bs * n_cls > BATCHED_TEXT_LIMIT:
+            self._epoch_fuse_auto_off = True
+            print(
+                "[CoCoOp] batch x classes = "
+                f"{train_bs} x {n_cls} > {BATCHED_TEXT_LIMIT}: "
+                "EPOCH_FUSE=auto selects per-step dispatch"
+            )
+
         def logits_of(params, frozen, images):
             imf = l2_normalize(
                 encode_image(frozen["clip"], clip_cfg_, images, compute_dtype=dtype)

@@ -139,3 +139,55 @@ def test_class_chunked_gradients_match_unchunked(tmp_path):
     g0, g1 = grads(t0), grads(t1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_epoch_fuse_auto_veto_past_batched_limit(tmp_path, monkeypatch):
+    """Past the batched-text limit, EPOCH_FUSE=auto must select per-step
+    dispatch: a whole-epoch fused device program at CoCoOp-500 per-step
+    cost crashes the TPU worker (observed on chip), so the trainer vetoes
+    auto-fusion.  Explicit EPOCH_FUSE="on" still forces the fused path."""
+    import fsvlm_tpu.trainers.cocoop as cocoop_mod
+
+    def build(limit, fuse="auto"):
+        monkeypatch.setattr(cocoop_mod, "BATCHED_TEXT_LIMIT", limit)
+        cfg = make_cfg(
+            tmp_path / f"veto{limit}_{fuse}",
+            **{
+                "TRAINER.NAME": "CoCoOp",
+                "TRAINER.COCOOP.N_CTX": 2,
+                "TRAINER.COCOOP.PREC": "fp32",
+                "TEST.NO_TEST": True,
+                "TRAIN.EPOCH_FUSE": fuse,
+                "DATALOADER.DEVICE_AUG": True,
+                "DATALOADER.PRE_SIZE": 48,
+                "OPTIM.MAX_EPOCH": 1,
+            },
+        )
+        cfg.freeze()
+        return build_trainer(cfg)
+
+    # bs 16 x 8 classes = 128 > 64: veto set, auto runs per-step
+    t = build(64)
+    assert getattr(t, "_epoch_fuse_auto_off", False)
+
+    def boom(*a, **k):
+        raise AssertionError("fused epoch entered despite auto veto")
+
+    monkeypatch.setattr(t, "_run_epoch_fused", boom)
+    t.epoch = 0
+    t.run_epoch()  # per-step path trains the tiny epoch
+
+    # explicit "on" overrides the veto
+    t_on = build(64, fuse="on")
+    assert getattr(t_on, "_epoch_fuse_auto_off", False)
+    called = {}
+    monkeypatch.setattr(
+        t_on, "_run_epoch_fused", lambda *a, **k: called.setdefault("fused", True)
+    )
+    t_on.epoch = 0
+    t_on.run_epoch()
+    assert called.get("fused")
+
+    # below the limit: no veto, auto fuses as before
+    t2 = build(4096)
+    assert not getattr(t2, "_epoch_fuse_auto_off", False)

@@ -77,6 +77,11 @@ def main():
     # reproduces the round-2 host-schedule path)
     cfg.TRAIN.DEVICE_SCHEDULE = os.environ.get("BENCH_DEVICE_SCHEDULE", "on") != "off"
     cfg.TRAIN.REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+    # BENCH_EPOCH_FUSE=off: per-step dispatch.  The fused whole-epoch scan
+    # is ONE device program; at CoCoOp-500 scale (250 steps x ~1s/step)
+    # that single execution exceeds what the TPU worker survives (observed:
+    # worker crash), so the giant-trainer lanes run per-step.
+    cfg.TRAIN.EPOCH_FUSE = os.environ.get("BENCH_EPOCH_FUSE", "auto")
     # CoCoOp at ImageNet-base scale: BENCH_CLASS_CHUNK forces the
     # class-chunked text scan (0 = auto past BATCHED_TEXT_LIMIT)
     cfg.TRAINER.COCOOP.CLASS_CHUNK = int(
