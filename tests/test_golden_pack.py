@@ -81,6 +81,53 @@ def test_pack_text_tower_per_block():
         )
 
 
+def test_pack_vision_tower_per_block():
+    """Per-block activations + final features of the frozen tiny reference
+    ViT tower (encode_image, clip/model.py:401-431) vs our unfold+matmul
+    patch embed -> scan transformer -> ln_post/proj path."""
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.clip.model import patch_embed
+    from fsvlm_tpu.models.clip.transformer import transformer
+    from fsvlm_tpu.ops.layers import layer_norm
+
+    z = _load("vision_tower_blocks.npz")
+    vis = {}
+    for key in z.files:
+        if not key.startswith("vis."):
+            continue
+        node = vis
+        parts = key[4:].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+
+    imgs = jnp.asarray(z["images"])
+    B = imgs.shape[0]
+    W = vis["class_embedding"].shape[-1]
+    x = patch_embed(imgs, vis["patch_embed"])
+    cls = jnp.broadcast_to(vis["class_embedding"], (B, 1, W))
+    x = jnp.concatenate([cls, x], axis=1) + vis["positional_embedding"]
+    x = layer_norm(x, vis["ln_pre"]["scale"], vis["ln_pre"]["bias"])
+    out, acts = transformer(
+        vis["blocks"], x, n_heads=int(z["n_heads"]), collect_activations=True)
+    acts = np.asarray(acts)
+    goldens = z["block_outputs"]
+    assert acts.shape == goldens.shape
+    for layer in range(goldens.shape[0]):
+        np.testing.assert_allclose(
+            acts[layer], goldens[layer], rtol=2e-4, atol=2e-5,
+            err_msg=f"vision block {layer} diverged from the frozen oracle",
+        )
+    feats = layer_norm(
+        out[:, 0, :], vis["ln_post"]["scale"], vis["ln_post"]["bias"])
+    feats = np.asarray(feats @ vis["proj"])
+    np.testing.assert_allclose(
+        feats, z["image_features"], rtol=2e-4, atol=2e-5,
+        err_msg="final image features diverged from the frozen oracle",
+    )
+
+
 def test_pack_coop_trajectory(tmp_path, monkeypatch):
     """10 steps / 5 epochs vs the FROZEN trace of the real reference
     CoOp.forward_backward + dassl SGD/cosine stack: losses and ctx must
@@ -138,3 +185,91 @@ def test_pack_coop_trajectory(tmp_path, monkeypatch):
             our_ctx[k], ref_ctx[k], rtol=2e-3, atol=2e-5,
             err_msg=f"ctx diverged at step {k}",
         )
+
+
+def test_pack_promptsrc_trajectory_and_gpa(tmp_path, monkeypatch):
+    """10 steps / 5 epochs vs the FROZEN trace of the real reference
+    PromptSRC.forward_backward (CE + 3 SCL losses -> SGD -> lr staircase ->
+    GPA accumulation -> final GPA swap-in, promptsrc.py:285-353): losses,
+    ctx trajectory, and the final Gaussian aggregate must match.  Same
+    assertions as test_trajectory_parity.py::
+    test_promptsrc_trajectory_and_gpa_parity with the reference side
+    replaced by the committed artifact."""
+    from test_trajectory_parity import (
+        N_EPOCHS,
+        STEPS_PER_EPOCH,
+        _batches,
+        _shared_cfg,
+    )
+
+    from fsvlm_tpu.engine import build_trainer
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+    import fsvlm_tpu.trainers  # noqa: F401
+    import fsvlm_tpu.trainers.ivlp as our_ivlp
+
+    z = _load("promptsrc_trajectory.npz")
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    params, clip_cfg = clip_params_from_state_dict(sd)
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.TRAINER.NAME = "PromptSRC"
+    node = cfg.TRAINER.PROMPTSRC
+    node.N_CTX_TEXT = 4
+    node.N_CTX_VISION = 0
+    node.CTX_INIT = "a picture of a"
+    node.PREC = "fp32"
+    node.PROMPT_DEPTH_TEXT = 1
+    node.PROMPT_DEPTH_VISION = 0
+    node.TEXT_LOSS_WEIGHT = 25.0
+    node.IMAGE_LOSS_WEIGHT = 10.0
+    node.GPA_MEAN = 3
+    node.GPA_STD = 1
+    node.USE_GPA = True
+    cfg.TRAIN.CHECKPOINT_FREQ = 0
+    cfg.freeze()
+
+    monkeypatch.setattr(
+        our_ivlp, "load_clip_backbone", lambda cfg: (params, clip_cfg))
+    trainer = build_trainer(cfg)
+    assert trainer.steps_per_epoch == STEPS_PER_EPOCH
+    assert set(trainer.params) == {"ctx"}
+    np.testing.assert_allclose(np.asarray(trainer.gauss), z["gauss"], rtol=1e-6)
+
+    batches = _batches(seed=7)
+    our_losses, our_ctx = [], []
+    for ep in range(N_EPOCHS):
+        trainer.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+            batch = {
+                "img": imgs,
+                "label": labels.astype(np.int32),
+                "domain": np.zeros(len(labels), np.int32),
+                "index": np.arange(len(labels), dtype=np.int32),
+                "valid": np.ones(len(labels), bool),
+            }
+            trainer.batch_idx = bi
+            metrics = trainer.forward_backward(batch)
+            our_losses.append(float(metrics["loss"]))
+            our_ctx.append(np.asarray(trainer.params["ctx"]))
+        trainer.after_epoch()  # GPA accumulation (+ final swap-in)
+
+    ref_losses, ref_ctx = z["losses"], z["ctx"]
+    assert len(our_losses) == N_EPOCHS * STEPS_PER_EPOCH == len(ref_losses)
+    last = N_EPOCHS * STEPS_PER_EPOCH - 1
+    for k in range(len(ref_losses)):
+        assert abs(our_losses[k] - ref_losses[k]) < 1e-3 * (
+            1 + abs(ref_losses[k])
+        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
+        if k == last:
+            continue  # ref_ctx[-1] is the GPA aggregate (swapped in INSIDE
+            # the reference's final forward_backward), compared below
+        np.testing.assert_allclose(
+            our_ctx[k], ref_ctx[k], rtol=2e-3, atol=2e-5,
+            err_msg=f"ctx diverged at step {k}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(trainer.params["ctx"]), z["final_ctx"],
+        rtol=2e-3, atol=2e-5, err_msg="GPA aggregate diverged",
+    )

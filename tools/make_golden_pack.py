@@ -12,9 +12,16 @@ artifacts so the proof survives the reference's removal
   text_tower_blocks.npz  per-block activations of a seeded tiny reference
                          CLIP text tower (saved_features, clip/model.py:340)
                          + the torch state dict that produced them
+  vision_tower_blocks.npz per-block activations + final image features of a
+                         seeded tiny reference ViT tower (encode_image,
+                         clip/model.py:401-431) + the converted params
   coop_trajectory.npz    10-step CoOp trace driven through the REAL reference
                          forward_backward (coop.py:437-459) + dassl optim:
                          losses, ctx trajectory, and the shared weights
+  promptsrc_trajectory.npz 10-step PromptSRC trace through the REAL reference
+                         forward_backward + GPA aggregation
+                         (promptsrc.py:285-353): losses, ctx trajectory,
+                         final GPA aggregate, gauss weights, shared weights
 
 Usage:  python tools/make_golden_pack.py   (writes tests/golden_pack/)
 """
@@ -98,6 +105,52 @@ def make_text_tower_pack():
     print(f"text_tower_blocks.npz: {goldens.shape[0]} blocks")
 
 
+def make_vision_tower_pack():
+    """Tiny reference ViT tower (clip/model.py:401-431): per-block
+    activations via the saved_features hook + final encode_image features,
+    with the CONVERTED visual params committed alongside so the replay has
+    zero reference/torch dependency."""
+    import torch
+
+    from reference_oracle import import_reference_clip
+
+    import_reference_clip()
+    from clip.model import CLIP
+
+    torch.manual_seed(5)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model = CLIP(64, 32, 4, 128, 16, 77, 49408, 128, 2, 4, design).eval()
+
+    rng = np.random.RandomState(13)
+    imgs = rng.randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        feats = model.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    goldens = np.stack(
+        [f.permute(1, 0, 2).numpy()
+         for f in model.visual.transformer.saved_features])
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+
+    params, cfg = clip_params_from_state_dict(dict(model.state_dict()))
+    arrays = {
+        "images": imgs,
+        "block_outputs": goldens,
+        "image_features": feats,
+        "n_heads": np.asarray(cfg.vision_heads, np.int32),
+    }
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params["visual"])
+    for path, leaf in flat:
+        key = "/".join(p.key for p in path)
+        arrays[f"vis.{key}"] = np.asarray(leaf)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "vision_tower_blocks.npz"), **arrays)
+    print(f"vision_tower_blocks.npz: {goldens.shape[0]} blocks")
+
+
 def make_coop_trajectory_pack():
     """The ce variant of test_coop_trajectory_parity's reference side."""
     import torch
@@ -174,6 +227,131 @@ def make_coop_trajectory_pack():
           f"{used.size} token rows kept")
 
 
+def make_promptsrc_trajectory_pack():
+    """The reference side of test_trajectory_parity.py::
+    test_promptsrc_trajectory_and_gpa_parity, frozen: 10 steps / 5 epochs of
+    the REAL PromptSRC.forward_backward (CE + 3 SCL losses -> SGD -> lr
+    staircase -> per-epoch GPA accumulation -> final GPA swap-in,
+    promptsrc.py:285-353)."""
+    import torch
+
+    from reference_oracle import (
+        import_reference_clip,
+        import_reference_trainers,
+    )
+    from test_trajectory_parity import (
+        CLASSNAMES,
+        N_EPOCHS,
+        STEPS_PER_EPOCH,
+        _batches,
+        _ref_trainer_shim,
+        _shared_cfg,
+        _tiny_torch_clip,
+    )
+
+    import_reference_trainers()
+    import trainers.promptsrc as ref_psrc
+
+    # CPU-compat no-ops: promptsrc.py calls .cuda()/.half() unconditionally
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.half = lambda self, *a, **k: self
+
+    cfg = _shared_cfg()
+    cfg.OUTPUT_DIR = "/tmp/golden_pack_promptsrc"
+    cfg.TRAINER.NAME = "PromptSRC"
+    node = cfg.TRAINER.PROMPTSRC
+    node.N_CTX_TEXT = 4
+    node.N_CTX_VISION = 0
+    node.CTX_INIT = "a picture of a"  # breaks the SCL L1 tie (see the test)
+    node.PREC = "fp32"
+    node.PROMPT_DEPTH_TEXT = 1
+    node.PROMPT_DEPTH_VISION = 0
+    node.TEXT_LOSS_WEIGHT = 25.0
+    node.IMAGE_LOSS_WEIGHT = 10.0
+    node.GPA_MEAN = 3
+    node.GPA_STD = 1
+    node.USE_GPA = True
+    cfg.TRAIN.CHECKPOINT_FREQ = 0
+    cfg.freeze()
+
+    design = {"trainer": "IVLP", "vision_depth": 0, "language_depth": 1,
+              "vision_ctx": 0, "language_ctx": 4}
+    torch_model = _tiny_torch_clip(design, seed=21)
+    batches = _batches(seed=7)
+    sd0 = {k: v.numpy().copy() for k, v in torch_model.state_dict().items()}
+
+    def fake_load_clip(cfg_, zero_shot_model=False):
+        import_reference_clip()
+        from clip.model import CLIP
+
+        plain = CLIP(
+            64, 32, 2, 128, 16, 77, 49408, 128, 2, 2,
+            {"trainer": "IVLP", "vision_depth": 0, "language_depth": 0,
+             "vision_ctx": 0, "language_ctx": 0})
+        plain.load_state_dict(torch_model.state_dict(), strict=False)
+        return plain.float()
+
+    ref_psrc.load_clip_to_cpu = fake_load_clip
+
+    model = ref_psrc.CustomCLIP(cfg, CLASSNAMES, torch_model)
+    for name, p in model.named_parameters():
+        if "prompt_learner" not in name:
+            p.requires_grad_("VPT" in name)
+        elif "ZS_image_encoder" in name:
+            p.requires_grad_(False)
+    model.train()
+    shim = _ref_trainer_shim(ref_psrc.PromptSRC, cfg, model, model)
+    shim._models.clear(), shim._optims.clear(), shim._scheds.clear()
+    shim.register_model("VLPromptLearner", model, shim.optim, shim.sched)
+    shim.scaler = None
+    shim.step_counter = 1
+    shim.total_epochs = N_EPOCHS
+    gauss_fn = shim.get_gauss(node.GPA_MEAN, node.GPA_STD)
+    gauss = np.array([gauss_fn(a) for a in range(1, N_EPOCHS + 1)])
+    shim.gauss = gauss / gauss.sum()
+    shim.previous_model_gpa = None
+
+    losses, ctxs = [], []
+    for ep in range(N_EPOCHS):
+        for bi in range(STEPS_PER_EPOCH):
+            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+            shim.batch_idx = bi
+            summary = shim.forward_backward({
+                "img": torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                "label": torch.from_numpy(labels),
+            })
+            losses.append(summary["loss"])
+            ctxs.append(model.prompt_learner.ctx.detach().numpy().copy())
+    final_ctx = model.prompt_learner.ctx.detach().numpy().copy()
+
+    arrays = {
+        "losses": np.asarray(losses, np.float64),
+        "ctx": np.stack(ctxs),
+        "final_ctx": final_ctx,
+        "gauss": np.asarray(shim.gauss, np.float64),
+    }
+    for k, v in sd0.items():
+        arrays[f"sd.{k}"] = v
+    # sparsify the 49408-row token embedding to the rows the replay reads:
+    # the learner's "a picture of a {name}." prompts + ctx init, and the
+    # frozen teacher's "a photo of a {name}." template (promptsrc.py:115-127)
+    from fsvlm_tpu.models.clip.tokenizer import tokenize as our_tokenize
+
+    used = np.unique(our_tokenize(
+        [f"a picture of a {c}." for c in CLASSNAMES]
+        + [f"a photo of a {c}." for c in CLASSNAMES]
+        + ["a picture of a", "a photo of a"]))
+    emb = arrays["sd.token_embedding.weight"]
+    sparse = np.zeros_like(emb)
+    sparse[used] = emb[used]
+    arrays["sd.token_embedding.weight"] = sparse
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "promptsrc_trajectory.npz"), **arrays)
+    print(f"promptsrc_trajectory.npz: {len(losses)} steps, "
+          f"{used.size} token rows kept")
+
+
 def main():
     from reference_oracle import reference_available
 
@@ -182,7 +360,9 @@ def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     make_tokenizer_pack()
     make_text_tower_pack()
+    make_vision_tower_pack()
     make_coop_trajectory_pack()
+    make_promptsrc_trajectory_pack()
     for f in sorted(os.listdir(OUT_DIR)):
         p = os.path.join(OUT_DIR, f)
         print(f"  {f}: {os.path.getsize(p) / 1e3:.1f} kB")
