@@ -128,6 +128,74 @@ def test_pack_vision_tower_per_block():
     )
 
 
+def _unflatten_pack_tree(z, prefix):
+    """Rebuild a pytree from 'prefix.a/b/0/c' keys; all-digit levels become
+    lists (the converter stores RN stages/blocks as lists)."""
+    import jax.numpy as jnp
+
+    tree = {}
+    for key in z.files:
+        if not key.startswith(prefix):
+            continue
+        node = tree
+        parts = key[len(prefix):].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(tree)
+
+
+def test_pack_rn_tower_stages():
+    """Stem/stage activations + attention-pooled features of the frozen
+    tiny reference ModifiedResNet (clip/model.py:93-150, attnpool :56-92)
+    vs our NHWC conv/BN/bottleneck path."""
+    import jax
+    import jax.numpy as jnp
+
+    from fsvlm_tpu.models.clip.resnet import (
+        _attention_pool,
+        _avg_pool,
+        _bn,
+        _bottleneck,
+        _conv,
+    )
+
+    z = _load("rn_tower.npz")
+    vis = _unflatten_pack_tree(z, "vis.")
+
+    x = jnp.asarray(z["images"])
+    s = vis["stem"]
+    x = jax.nn.relu(_bn(_conv(x, s["conv1"], stride=2, padding=((1, 1), (1, 1))), s["bn1"]))
+    x = jax.nn.relu(_bn(_conv(x, s["conv2"], padding=((1, 1), (1, 1))), s["bn2"]))
+    x = jax.nn.relu(_bn(_conv(x, s["conv3"], padding=((1, 1), (1, 1))), s["bn3"]))
+    x = _avg_pool(x, 2)
+    np.testing.assert_allclose(
+        np.asarray(x), z["act.avgpool"], rtol=2e-4, atol=2e-5,
+        err_msg="stem diverged from the frozen oracle")
+
+    for li, stage in enumerate(vis["layers"]):
+        stride = 1 if li == 0 else 2
+        for bi, block in enumerate(stage):
+            x = _bottleneck(x, block, stride if bi == 0 else 1)
+        np.testing.assert_allclose(
+            np.asarray(x), z[f"act.layer{li + 1}"], rtol=5e-4, atol=5e-5,
+            err_msg=f"stage {li + 1} diverged from the frozen oracle")
+
+    feats = _attention_pool(x, vis["attnpool"], int(z["n_heads"]))
+    np.testing.assert_allclose(
+        np.asarray(feats), z["image_features"], rtol=5e-4, atol=5e-5,
+        err_msg="attention-pooled features diverged from the frozen oracle")
+
+
 def test_pack_coop_trajectory(tmp_path, monkeypatch):
     """10 steps / 5 epochs vs the FROZEN trace of the real reference
     CoOp.forward_backward + dassl SGD/cosine stack: losses and ctx must

@@ -151,6 +151,61 @@ def make_vision_tower_pack():
     print(f"vision_tower_blocks.npz: {goldens.shape[0]} blocks")
 
 
+def make_rn_tower_pack():
+    """Tiny reference ModifiedResNet tower (clip/model.py:93-150) incl. the
+    QKV attention pool (:56-92): stem/stage activations + final pooled
+    features, with the converted visual params committed alongside.  96²
+    input -> 3×3 attnpool grid (10 positions with CLS)."""
+    import torch
+
+    from reference_oracle import import_reference_clip
+
+    import_reference_clip()
+    from clip.model import CLIP
+
+    torch.manual_seed(7)
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model = CLIP(64, 96, (1, 1, 1, 1), 16, None, 77, 49408, 64, 2, 2,
+                 design).eval()
+
+    rng = np.random.RandomState(17)
+    imgs = rng.randn(2, 96, 96, 3).astype(np.float32)
+
+    acts = {}
+
+    def hook(name):
+        def fn(mod, inp, out):
+            acts[name] = out.detach().numpy()
+        return fn
+
+    for name in ["avgpool", "layer1", "layer2", "layer3", "layer4"]:
+        getattr(model.visual, name).register_forward_hook(hook(name))
+    with torch.no_grad():
+        feats = model.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+
+    params, cfg = clip_params_from_state_dict(dict(model.state_dict()))
+    assert not cfg.is_vit
+
+    arrays = {"images": imgs, "image_features": feats,
+              "n_heads": np.asarray(cfg.vision_heads, np.int32)}
+    for name, a in acts.items():
+        # NCHW -> NHWC to match our layout
+        arrays[f"act.{name}"] = a.transpose(0, 2, 3, 1)
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params["visual"])
+    for path, leaf in flat:
+        key = "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path)
+        arrays[f"vis.{key}"] = np.asarray(leaf)
+    np.savez_compressed(os.path.join(OUT_DIR, "rn_tower.npz"), **arrays)
+    print(f"rn_tower.npz: {len(acts)} stage activations")
+
+
 def make_coop_trajectory_pack():
     """The ce variant of test_coop_trajectory_parity's reference side."""
     import torch
@@ -361,6 +416,7 @@ def main():
     make_tokenizer_pack()
     make_text_tower_pack()
     make_vision_tower_pack()
+    make_rn_tower_pack()
     make_coop_trajectory_pack()
     make_promptsrc_trajectory_pack()
     for f in sorted(os.listdir(OUT_DIR)):
