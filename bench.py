@@ -428,8 +428,10 @@ def main():
         # semantics (teacher sees the augmented batch) with the teacher
         # tower's GEMMs at W8A8 int8 (2x MXU int8 rate, ops/quant.py).
         # Measured r3 on chip (hoist-proof): 999.4 img/s vs 953.0 default.
-        # Skipped when the headline already runs int8 or isn't fused.
-        if scan_k and not INT8_TEACHER:
+        # Skipped when the headline already runs int8 or isn't fused, or
+        # when BENCH_INT8_LANE=0 (e.g. batch sweeps of the other lanes).
+        if (scan_k and not INT8_TEACHER
+                and os.environ.get("BENCH_INT8_LANE", "1") == "1"):
             try:
                 from fsvlm_tpu.models.clip import encode_image
                 from fsvlm_tpu.ops.quant import quantize_clip_params
