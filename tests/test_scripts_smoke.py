@@ -182,6 +182,12 @@ def _script_default_config_paths(text):
     import re
 
     defaults = {}
+    # nested positional/env defaults first: CFG=${3:-${CFG:-name}}
+    for m in re.finditer(
+        r"(?:^|;)\s*([A-Z_]+)=\$\{(?:[0-9]+|[A-Z_]+):-\$\{[A-Z_]+:-([^}$]*)\}\}",
+        text, re.M,
+    ):
+        defaults.setdefault(m.group(1), m.group(2))
     for m in re.finditer(
         r"(?:^|;)\s*([A-Z_]+)=(?:\$\{(?:[0-9]+|[A-Z_]+):-([^}$]*)\}|([^$\s;]+))",
         text, re.M,
