@@ -341,3 +341,80 @@ def test_pack_promptsrc_trajectory_and_gpa(tmp_path, monkeypatch):
         np.asarray(trainer.params["ctx"]), z["final_ctx"],
         rtol=2e-3, atol=2e-5, err_msg="GPA aggregate diverged",
     )
+
+
+def test_pack_dann_trajectory(tmp_path):
+    """8 steps / 4 epochs vs the FROZEN trace of the real Dassl
+    DANN.forward_backward (dassl/engine/da/dann.py: CE + BCE domain loss on
+    gradient-reversed features, lambda ramp, net + critic optimizers,
+    critic BatchNorm batch statistics): losses, both weight trajectories,
+    and the critic BN running stats must match step-for-step.  Same
+    assertions as test_zoo_trajectory_parity.py::test_dann_trajectory_parity
+    with the reference side replaced by the committed artifact — the
+    standalone pack now covers the Dassl zoo half of the framework."""
+    from test_zoo_trajectory_parity import (
+        BU,
+        BX,
+        N_EPOCHS,
+        STEPS_PER_EPOCH,
+        _batches,
+        _build_our_trainer,
+        _drive_ours,
+        _our_batch,
+        _zoo_cfg,
+    )
+
+    z = _load("dann_trajectory.npz")
+    init_net = _unflatten_pack_tree(z, "init_net.")
+    init_critic = _unflatten_pack_tree(z, "init_critic.")
+    init_cstate = _unflatten_pack_tree(z, "init_cstate.")
+
+    cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                "DATALOADER.TRAIN_U.SAME_AS_X": False})
+    cfg.TRAINER.NAME = "DANN"
+    cfg.freeze()
+
+    ours = _build_our_trainer(cfg)
+    assert set(ours.params) == {"net", "critic"}
+    ours.params = {"net": init_net, "critic": init_critic}
+    ours.model_state = {"net": ours.model_state["net"],
+                        "critic": init_cstate}
+    ours.opt_state = {g: ours.tx.init(ours.params[g])
+                      for g in ("net", "critic")}
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=5)
+    bu_batches = _batches(n_steps, BU, seed=6)
+
+    our_out, our_snap = [], []
+
+    def record(ep, bi, m):
+        our_out.append(m)
+        our_snap.append({
+            "conv0": np.asarray(ours.params["net"]["backbone"]["conv0"]["w"]),
+            "cls_w": np.asarray(ours.params["net"]["classifier"]["w"]),
+            "critic_fc0": np.asarray(ours.params["critic"]["fc0"]["w"]),
+            "critic_bn0_scale": np.asarray(
+                ours.params["critic"]["bn0"]["scale"]),
+            "critic_out": np.asarray(ours.params["critic"]["out"]["w"]),
+            "bn0_mean": np.asarray(ours.model_state["critic"]["bn0"]["mean"]),
+            "bn0_var": np.asarray(ours.model_state["critic"]["bn0"]["var"]),
+        })
+
+    def stepper(ep, bi):
+        k = ep * STEPS_PER_EPOCH + bi
+        return _our_batch(*bx_batches[k]), _our_batch(*bu_batches[k])
+
+    _drive_ours(ours, stepper, record)
+
+    for k in range(n_steps):
+        for key, ref_l in (("loss_x", z["loss_x"]), ("loss_d", z["loss_d"])):
+            assert abs(our_out[k][key] - ref_l[k]) < 1e-3 * (
+                1 + abs(ref_l[k])
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_l[k]}"
+        for name in ("conv0", "cls_w", "critic_fc0", "critic_bn0_scale",
+                     "critic_out", "bn0_mean", "bn0_var"):
+            np.testing.assert_allclose(
+                our_snap[k][name], z[f"ref.{name}"][k], rtol=2e-3, atol=3e-5,
+                err_msg=f"{name} diverged at step {k}",
+            )

@@ -22,6 +22,12 @@ artifacts so the proof survives the reference's removal
                          forward_backward + GPA aggregation
                          (promptsrc.py:285-353): losses, ctx trajectory,
                          final GPA aggregate, gauss weights, shared weights
+  rn_tower.npz           stem/stage activations + attention-pooled features
+                         of a seeded tiny reference ModifiedResNet
+                         (clip/model.py:56-150) + the converted params
+  dann_trajectory.npz    8-step DANN trace through the REAL Dassl
+                         forward_backward (dassl/engine/da/dann.py): losses,
+                         net/critic weight + critic-BN-state trajectories
 
 Usage:  python tools/make_golden_pack.py   (writes tests/golden_pack/)
 """
@@ -407,6 +413,114 @@ def make_promptsrc_trajectory_pack():
           f"{used.size} token rows kept")
 
 
+def _flatten_into(arrays, prefix, tree):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _flatten_into(arrays, f"{prefix}{k}/", v)
+        else:
+            arrays[f"{prefix}{k}"] = np.asarray(v)
+
+
+def make_dann_trajectory_pack():
+    """The reference side of test_zoo_trajectory_parity.py::
+    test_dann_trajectory_parity, frozen: 8 steps / 4 epochs of the REAL
+    Dassl DANN.forward_backward (dassl/engine/da/dann.py: CE + BCE domain
+    loss on gradient-reversed features with the lambda ramp, net + critic
+    optimizers, critic BatchNorm batch stats) — extends the standalone pack
+    to the Dassl zoo half of the framework."""
+    import torch
+    import torch.nn as nn
+
+    from reference_oracle import import_reference_trainers
+    from test_zoo_trajectory_parity import (
+        BU,
+        BX,
+        FDIM,
+        N_CLS,
+        N_EPOCHS,
+        STEPS_PER_EPOCH,
+        _base_shim,
+        _batches,
+        _convert_critic,
+        _convert_net,
+        _ref_simplenet,
+        _torch_batch,
+        _zoo_cfg,
+    )
+
+    import_reference_trainers()
+    from dassl.engine.da.dann import DANN as RefDANN
+    from dassl.modeling import build_head
+    from dassl.modeling.ops import ReverseGrad
+    from dassl.optim import build_lr_scheduler, build_optimizer
+
+    import pathlib
+
+    cfg = _zoo_cfg(pathlib.Path("/tmp/golden_pack_dann"),
+                   **{"DATASET.TARGET_DOMAINS": ["d2"],
+                      "DATALOADER.TRAIN_U.SAME_AS_X": False})
+    cfg.TRAINER.NAME = "DANN"
+    cfg.freeze()
+
+    model = _ref_simplenet(cfg, N_CLS)
+    torch.manual_seed(17)
+    critic_body = build_head(
+        "mlp", verbose=False, in_features=FDIM,
+        hidden_layers=[FDIM, FDIM], activation="leaky_relu",
+    )
+    critic = nn.Sequential(critic_body, nn.Linear(FDIM, 1)).float()
+    init_net = _convert_net(model, N_CLS)
+    init_critic, init_cstate = _convert_critic(critic)
+
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=5)
+    bu_batches = _batches(n_steps, BU, seed=6)
+
+    shim = _base_shim(RefDANN, cfg, model)
+    shim.critic = critic
+    shim.optim_c = build_optimizer(critic, cfg.OPTIM)
+    shim.sched_c = build_lr_scheduler(shim.optim_c, cfg.OPTIM)
+    shim.register_model("critic", critic, shim.optim_c, shim.sched_c)
+    shim.revgrad = ReverseGrad()
+    shim.ce = nn.CrossEntropyLoss()
+    shim.bce = nn.BCEWithLogitsLoss()
+
+    loss_x, loss_d = [], []
+    snaps = {k: [] for k in ("conv0", "cls_w", "critic_fc0", "critic_bn0_scale",
+                             "critic_out", "bn0_mean", "bn0_var")}
+    for ep in range(N_EPOCHS):
+        shim.epoch = ep
+        for bi in range(STEPS_PER_EPOCH):
+            k = ep * STEPS_PER_EPOCH + bi
+            shim.batch_idx = bi
+            out = shim.forward_backward(
+                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+            loss_x.append(out["loss_x"])
+            loss_d.append(out["loss_d"])
+            net = _convert_net(model, N_CLS)
+            cp, cs = _convert_critic(critic)
+            snaps["conv0"].append(net["backbone"]["conv0"]["w"])
+            snaps["cls_w"].append(net["classifier"]["w"])
+            snaps["critic_fc0"].append(cp["fc0"]["w"])
+            snaps["critic_bn0_scale"].append(cp["bn0"]["scale"])
+            snaps["critic_out"].append(cp["out"]["w"])
+            snaps["bn0_mean"].append(cs["bn0"]["mean"])
+            snaps["bn0_var"].append(cs["bn0"]["var"])
+
+    arrays = {
+        "loss_x": np.asarray(loss_x, np.float64),
+        "loss_d": np.asarray(loss_d, np.float64),
+    }
+    for k, v in snaps.items():
+        arrays[f"ref.{k}"] = np.stack(v)
+    _flatten_into(arrays, "init_net.", init_net)
+    _flatten_into(arrays, "init_critic.", init_critic)
+    _flatten_into(arrays, "init_cstate.", init_cstate)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "dann_trajectory.npz"), **arrays)
+    print(f"dann_trajectory.npz: {n_steps} steps")
+
+
 def main():
     from reference_oracle import reference_available
 
@@ -419,6 +533,7 @@ def main():
     make_rn_tower_pack()
     make_coop_trajectory_pack()
     make_promptsrc_trajectory_pack()
+    make_dann_trajectory_pack()
     for f in sorted(os.listdir(OUT_DIR)):
         p = os.path.join(OUT_DIR, f)
         print(f"  {f}: {os.path.getsize(p) / 1e3:.1f} kB")
