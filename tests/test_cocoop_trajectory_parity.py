@@ -12,6 +12,11 @@ full loss -> grad -> SGD(momentum, wd) -> lr-staircase composition.
 Both sides share tiny random CLIP weights; the reference's random-init
 meta_net is copied into our pytree so the starting point is identical.
 fp32 on CPU.
+
+The module-level helpers (_cocoop_cfg/_cocoop_batches/_ref_cocoop_drive/
+_our_cocoop_drive) are shared with tools/make_golden_pack.py and
+tests/test_golden_pack.py, which freeze/replay the reference side of this
+exact drive as a committed artifact with zero reference dependency.
 """
 
 import numpy as np
@@ -38,18 +43,14 @@ N_CLS = 8  # must match the Synthetic dataset's class count: the fsvlm
 CLASSNAMES = [f"synthetic class {i}" for i in range(N_CLS)]
 
 
-def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
-    import torch
-
-    trainers_pkg = import_reference_trainers()  # noqa: F401
-    import trainers.cocoop as ref_cocoop
-
+def _cocoop_cfg(outdir):
+    """The frozen config both sides (and the golden-pack replay) train under."""
     from fsvlm_tpu.config import get_cfg_default
 
     cfg = get_cfg_default()
     cfg.SEED = 1
     cfg.VERBOSE = False
-    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.OUTPUT_DIR = str(outdir)
     cfg.DATASET.NAME = "Synthetic"
     cfg.DATASET.NUM_SHOTS = 1
     cfg.INPUT.SIZE = (32, 32)
@@ -74,6 +75,23 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
     cfg.TRAINER.COCOOP.CTX_INIT = "a photo of a"
     cfg.TRAINER.COCOOP.PREC = "fp32"
     cfg.freeze()
+    return cfg
+
+
+def _cocoop_batches():
+    rng = np.random.RandomState(3)
+    return [
+        (
+            rng.randn(BATCH, 32, 32, 3).astype(np.float32),
+            rng.randint(0, N_CLS, size=BATCH).astype(np.int64),
+        )
+        for _ in range(N_EPOCHS * STEPS_PER_EPOCH)
+    ]
+
+
+def _tiny_cocoop_torch_clip():
+    """Shared tiny random CLIP at the CoCoOp design (torch seed 17)."""
+    import torch
 
     import_reference_clip()
     from clip.model import CLIP
@@ -86,18 +104,16 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
         "language_ctx": 0,
     }
     torch.manual_seed(17)
-    torch_model = CLIP(64, 32, 2, 128, 16, 77, 49408, 128, 2, 2, design).float()
+    return CLIP(64, 32, 2, 128, 16, 77, 49408, 128, 2, 2, design).float()
 
-    rng = np.random.RandomState(3)
-    batches = [
-        (
-            rng.randn(BATCH, 32, 32, 3).astype(np.float32),
-            rng.randint(0, N_CLS, size=BATCH).astype(np.int64),
-        )
-        for _ in range(N_EPOCHS * STEPS_PER_EPOCH)
-    ]
 
-    # ---- reference side
+def _ref_cocoop_drive(cfg, torch_model):
+    """Drive the REAL reference CoCoOp.forward_backward for the full
+    schedule; returns (init tensors, losses, per-step snapshots)."""
+    import torch
+
+    import_reference_trainers()
+    import trainers.cocoop as ref_cocoop
     from dassl.engine.trainer import TrainerBase
     from dassl.optim import build_lr_scheduler, build_optimizer
 
@@ -136,6 +152,7 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
             "w2": meta["linear2.weight"].detach().numpy().copy(),
         }
 
+    batches = _cocoop_batches()
     ref_losses, ref_snaps = [], []
     for ep in range(N_EPOCHS):
         for bi in range(STEPS_PER_EPOCH):
@@ -149,17 +166,17 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
             )
             ref_losses.append(summary["loss"])
             ref_snaps.append(snap())
+    return init, ref_losses, ref_snaps
 
-    # ---- fsvlm side
+
+def _our_cocoop_drive(cfg, params, clip_cfg, init, monkeypatch):
+    """Run the fsvlm batched CoCoOp from the same weights/init; returns
+    (losses, per-step snapshots in torch layout)."""
     from fsvlm_tpu.engine import build_trainer
-    from fsvlm_tpu.models.clip import clip_params_from_state_dict
     import fsvlm_tpu.trainers  # noqa: F401
     import fsvlm_tpu.trainers.cocoop as our_cocoop
     import jax.numpy as jnp
 
-    params, clip_cfg = clip_params_from_state_dict(
-        {k: v for k, v in torch_model.state_dict().items()}
-    )
     monkeypatch.setattr(
         our_cocoop, "load_clip_backbone", lambda cfg: (params, clip_cfg)
     )
@@ -179,6 +196,7 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
         "b2": jnp.asarray(init["b2"]),
     }
 
+    batches = _cocoop_batches()
     our_losses, our_snaps = [], []
     for ep in range(N_EPOCHS):
         trainer.epoch = ep
@@ -201,8 +219,12 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
                     "w2": np.asarray(trainer.params["meta_net"]["w2"]).T,
                 }
             )
+    return our_losses, our_snaps
 
-    for k in range(N_EPOCHS * STEPS_PER_EPOCH):
+
+def _assert_cocoop_match(our_losses, our_snaps, ref_losses, ref_snaps):
+    assert len(our_losses) == N_EPOCHS * STEPS_PER_EPOCH == len(ref_losses)
+    for k in range(len(ref_losses)):
         assert abs(our_losses[k] - ref_losses[k]) < 1e-3 * (
             1 + abs(ref_losses[k])
         ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
@@ -214,3 +236,20 @@ def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
                 atol=3e-5,
                 err_msg=f"{key} diverged at step {k}",
             )
+
+
+def test_cocoop_trajectory_parity(tmp_path, monkeypatch):
+    torch_model = _tiny_cocoop_torch_clip()
+    cfg = _cocoop_cfg(tmp_path / "out")
+
+    init, ref_losses, ref_snaps = _ref_cocoop_drive(cfg, torch_model)
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+
+    params, clip_cfg = clip_params_from_state_dict(
+        {k: v for k, v in torch_model.state_dict().items()}
+    )
+    our_losses, our_snaps = _our_cocoop_drive(
+        cfg, params, clip_cfg, init, monkeypatch
+    )
+    _assert_cocoop_match(our_losses, our_snaps, ref_losses, ref_snaps)

@@ -343,6 +343,40 @@ def test_pack_promptsrc_trajectory_and_gpa(tmp_path, monkeypatch):
     )
 
 
+def test_pack_cocoop_trajectory(tmp_path, monkeypatch):
+    """8 steps / 4 epochs vs the FROZEN trace of the real reference
+    CoCoOp.forward_backward (PromptSRC/trainers/cocoop.py:247-255 per-image
+    text-encoder loops): losses, ctx AND meta-net weight trajectories must
+    match step-for-step.  Same assertions as test_cocoop_trajectory_parity
+    with the reference side replaced by the committed artifact — this pins
+    the batched fsvlm reformulation (one meta-net matmul + vmapped text
+    forward) against the reference's loop formulation with zero reference
+    dependency."""
+    from test_cocoop_trajectory_parity import (
+        _assert_cocoop_match,
+        _cocoop_cfg,
+        _our_cocoop_drive,
+    )
+
+    from fsvlm_tpu.models.clip import clip_params_from_state_dict
+
+    z = _load("cocoop_trajectory.npz")
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    params, clip_cfg = clip_params_from_state_dict(sd)
+
+    cfg = _cocoop_cfg(tmp_path / "out")
+    init = {"ctx": z["init_ctx"], "w1": z["init_w1"], "b1": z["init_b1"],
+            "w2": z["init_w2"], "b2": z["init_b2"]}
+    our_losses, our_snaps = _our_cocoop_drive(
+        cfg, params, clip_cfg, init, monkeypatch)
+
+    ref_snaps = [
+        {"ctx": z["ctx"][k], "w1": z["w1"][k], "w2": z["w2"][k]}
+        for k in range(len(z["losses"]))
+    ]
+    _assert_cocoop_match(our_losses, our_snaps, z["losses"], ref_snaps)
+
+
 def test_pack_dann_trajectory(tmp_path):
     """8 steps / 4 epochs vs the FROZEN trace of the real Dassl
     DANN.forward_backward (dassl/engine/da/dann.py: CE + BCE domain loss on

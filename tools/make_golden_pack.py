@@ -25,6 +25,11 @@ artifacts so the proof survives the reference's removal
   rn_tower.npz           stem/stage activations + attention-pooled features
                          of a seeded tiny reference ModifiedResNet
                          (clip/model.py:56-150) + the converted params
+  cocoop_trajectory.npz  8-step CoCoOp trace through the REAL reference
+                         forward_backward (cocoop.py:247-255 per-image
+                         loops): losses, ctx + meta-net trajectories,
+                         meta-net init, shared weights — the replay pins
+                         the batched fsvlm reformulation
   dann_trajectory.npz    8-step DANN trace through the REAL Dassl
                          forward_backward (dassl/engine/da/dann.py): losses,
                          net/critic weight + critic-BN-state trajectories
@@ -413,6 +418,57 @@ def make_promptsrc_trajectory_pack():
           f"{used.size} token rows kept")
 
 
+def make_cocoop_trajectory_pack():
+    """The reference side of test_cocoop_trajectory_parity.py, frozen:
+    8 steps / 4 epochs of the REAL reference CoCoOp.forward_backward
+    (PromptSRC/trainers/cocoop.py:247-255 per-image text-encoder loop)
+    + dassl SGD/cosine stack — losses, ctx AND meta-net weight
+    trajectories, the random meta-net init, and the shared tiny CLIP
+    weights.  The replay proves the batched fsvlm reformulation (one
+    meta-net matmul + vmapped text forward) stays step-for-step identical
+    to the reference's loop formulation with zero reference dependency."""
+    from test_cocoop_trajectory_parity import (
+        CLASSNAMES,
+        _cocoop_cfg,
+        _ref_cocoop_drive,
+        _tiny_cocoop_torch_clip,
+    )
+
+    torch_model = _tiny_cocoop_torch_clip()
+    sd0 = {k: v.numpy().copy() for k, v in torch_model.state_dict().items()}
+    cfg = _cocoop_cfg("/tmp/golden_pack_cocoop")
+
+    init, losses, snaps = _ref_cocoop_drive(cfg, torch_model)
+
+    arrays = {
+        "losses": np.asarray(losses, np.float64),
+        "ctx": np.stack([s["ctx"] for s in snaps]),
+        "w1": np.stack([s["w1"] for s in snaps]),
+        "w2": np.stack([s["w2"] for s in snaps]),
+        "init_ctx": init["ctx"],
+        "init_w1": init["w1"],
+        "init_b1": init["b1"],
+        "init_w2": init["w2"],
+        "init_b2": init["b2"],
+    }
+    for k, v in sd0.items():
+        arrays[f"sd.{k}"] = v
+    # sparsify the 49408-row token embedding to the rows the replay reads
+    # (the learner's prompts + ctx init)
+    from fsvlm_tpu.models.clip.tokenizer import tokenize as our_tokenize
+
+    used = np.unique(our_tokenize(
+        [f"a photo of a {c}." for c in CLASSNAMES] + ["a photo of a"]))
+    emb = arrays["sd.token_embedding.weight"]
+    sparse = np.zeros_like(emb)
+    sparse[used] = emb[used]
+    arrays["sd.token_embedding.weight"] = sparse
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "cocoop_trajectory.npz"), **arrays)
+    print(f"cocoop_trajectory.npz: {len(losses)} steps, "
+          f"{used.size} token rows kept")
+
+
 def _flatten_into(arrays, prefix, tree):
     for k, v in tree.items():
         if isinstance(v, dict):
@@ -533,6 +589,7 @@ def main():
     make_rn_tower_pack()
     make_coop_trajectory_pack()
     make_promptsrc_trajectory_pack()
+    make_cocoop_trajectory_pack()
     make_dann_trajectory_pack()
     for f in sorted(os.listdir(OUT_DIR)):
         p = os.path.join(OUT_DIR, f)
