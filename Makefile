@@ -1,5 +1,5 @@
 # Developer entry points
-.PHONY: test bench smoke native dryrun clean
+.PHONY: test bench smoke native dryrun accuracy clean
 
 test:
 	python -m pytest tests/ -q
@@ -19,6 +19,11 @@ native:
 
 dryrun:
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+# one-command weights-gated accuracy gate (docs/EVAL.md):
+# goldens -> replay tests -> A/Bs -> reproduce driver
+accuracy:
+	bash tools/run_accuracy_gate.sh
 
 clean:
 	rm -rf output /tmp/fsvlm_smoke

@@ -4,8 +4,9 @@ dependency.
 The rest of the parity suite drives /root/reference live (and skips without
 it).  These tests replay oracle outputs frozen by tools/make_golden_pack.py
 into committed artifacts, so the core parity proof — tokenizer ids, per-block
-tower activations, a 10-step reference-optimizer training trajectory —
-survives the reference checkout's removal.  They run on every box.
+tower activations, and the reference-optimizer training trajectories
+(CoOp, PromptSRC+GPA, CoCoOp, DANN, 8-10 steps each) — survives the
+reference checkout's removal.  They run on every box.
 """
 
 import os

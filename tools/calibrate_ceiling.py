@@ -114,13 +114,101 @@ def measure_family(jax, jnp, m, k, n, batch, iters, dtype, par=None):
     return flops / dt / 1e12
 
 
+def measure_family_int8(jax, jnp, m, k, n, batch, iters, par=None):
+    """Achieved TOP/s of the W8A8 ping-pong — the int8 lane's ceiling.
+
+    Mirrors ``measure_family`` but with int8 operands and the real int8
+    path's per-GEMM epilogue (ops/quant.py:int8_linear static-scale form):
+    dot_general int8xint8->int32, dequant (one f32 multiply), requant for
+    the next GEMM (scaled round + clip + int8 cast).  The epilogue VPU cost
+    is part of the lane's ceiling — the real graph pays it per quantized
+    GEMM, so a pure-int8-GEMM number would overstate the ceiling the same
+    way the 4096^3 chain overstated bf16's.
+    """
+    import numpy as np
+
+    if par is None:
+        par = int(os.environ.get("CEIL_PAR", "8"))
+        while par > 2 and par * batch * m * max(k, n) > 1 << 30:
+            par //= 2
+    rng = np.random.RandomState(0)
+
+    def mk8(*shape):
+        return jnp.asarray(
+            rng.randint(-127, 128, shape, dtype=np.int32).astype(np.int8))
+
+    if batch == 1:
+        xs = [mk8(m, k) for _ in range(par)]
+        w1, w2 = mk8(k, n), mk8(n, k)
+    else:
+        xs = [mk8(batch, m, k) for _ in range(par)]
+        w1, w2 = mk8(batch, k, n), mk8(batch, n, k)
+    # arbitrary dequant/requant scales: timing only cares about the op mix
+    s1 = jnp.float32(1.0 / (127.0 * max(k, 1) ** 0.5))
+    s2 = jnp.float32(1.0 / (127.0 * max(n, 1) ** 0.5))
+
+    def dot8(a, b):
+        nd = a.ndim - 1
+        if batch == 1:
+            dn = (((nd,), (0,)), ((), ()))
+        else:
+            dn = (((nd,), (1,)), ((0,), (0,)))
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+
+    def requant(y32, s):
+        yf = y32.astype(jnp.float32) * s * 127.0
+        return jnp.clip(jnp.round(yf), -127, 127).astype(jnp.int8)
+
+    def timed(niters, reps, xs):
+        @jax.jit
+        def chain(xs, w1, w2):
+            def body(xs, _):
+                return [requant(dot8(requant(dot8(x, w1), s1), w2), s2)
+                        for x in xs], ()
+
+            xs, _ = jax.lax.scan(body, xs, (), length=niters)
+            return xs
+
+        out = chain(xs, w1, w2)
+        jax.block_until_ready(out)
+        _ = jax.device_get(out[0][..., 0, 0])
+        t0 = time.time()
+        for _ in range(reps):
+            out = chain(out, w1, w2)
+        _ = jax.device_get(out[0][..., 0, 0])
+        return time.time() - t0, out
+
+    reps = 3
+    niters = iters
+    min_window = (0.0 if iters <= 2 else
+                  float(os.environ.get("CEIL_MIN_WINDOW_S", "0.5")))
+    dt, xs = timed(niters, reps, xs)
+    while dt < min_window and niters < 500_000:
+        niters = min(max(niters * 2, int(niters * 0.8 * min_window
+                                         / max(dt, 1e-3))), 500_000)
+        dt, xs = timed(niters, reps, xs)
+    flops = 2 * 2 * m * k * n * batch * niters * reps * par
+    return flops / dt / 1e12
+
+
+# the int8 teacher config quantizes exactly the tower attn+mlp GEMM weights
+# (ops/quant.py:quantize_blocks families=("attn","mlp")); patch embed, the
+# embed projection, and the act-x-act attention bmms stay float
+_INT8_TEACHER_GEMMS = frozenset(
+    {"teacher_qkv", "teacher_outproj", "teacher_mlp1", "teacher_mlp2"})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--classes", type=int, default=100)
     ap.add_argument("--iters", type=int, default=32)
-    ap.add_argument("--teacher", default="per_step",
-                    choices=["per_step", "cached", "int8"])
+    ap.add_argument("--lanes", default="per_step,cached,int8",
+                    help="comma list of teacher lanes to calibrate")
+    ap.add_argument("--teacher", default=None,
+                    choices=["per_step", "cached", "int8"],
+                    help="(legacy) calibrate a single lane")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CEILING.json"))
@@ -143,67 +231,107 @@ def main():
     # the bench's EOT-truncated text length for "a photo of a class {i}."
     # prompts is 10 (build_prompt_context(truncate=True)); keep in sync
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "10"))
-    gemms = F.promptsrc_step_gemms(cfg, args.batch, args.classes, text_len,
-                                   n_vpt=4, teacher=args.teacher)
-    total = F.total_flops(gemms)
-
-    # dedup into measurement families by (m, k, n, batch); accumulate step
-    # FLOPs per family.  The dgrad GEMMs of a linear have the transposed
-    # geometry of its forward — the ping-pong chain measures both, so fold
-    # (m,k,n) and (m,n,k) into one family keyed by the forward orientation.
-    fams = {}
-    for g in gemms:
-        key = (g.m, *sorted((g.k, g.n)), g.batch)
-        fams.setdefault(key, {"flops": 0, "names": set(),
-                              "op_class": g.op_class})
-        fams[key]["flops"] += g.flops
-        fams[key]["names"].add(g.name.replace("_dgrad", ""))
+    lanes = ([args.teacher] if args.teacher
+             else [s.strip() for s in args.lanes.split(",") if s.strip()])
 
     iters = 2 if args.dry else args.iters
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    rows = []
-    for (m, k, n, batch), info in sorted(
-            fams.items(), key=lambda kv: -kv[1]["flops"]):
-        tfs = measure_family(jax, jnp, m, k, n, batch, iters, dtype)
-        share = info["flops"] / total
-        ideal_ms = info["flops"] / (tfs * 1e12) * 1e3
-        rows.append({
-            "shape": f"{batch}x({m},{k})x({k},{n})" if batch > 1
-                     else f"({m},{k})x({k},{n})",
-            "op_class": info["op_class"],
-            "names": sorted(info["names"]),
-            "step_gflops": round(info["flops"] / 1e9, 1),
-            "flop_share_pct": round(100 * share, 1),
-            "measured_tflops": round(tfs, 1),
-            "ideal_ms": round(ideal_ms, 3),
-        })
-        print(f"  {rows[-1]['shape']:36s} {rows[-1]['op_class']:12s} "
-              f"{rows[-1]['step_gflops']:9.1f} GF "
-              f"({rows[-1]['flop_share_pct']:4.1f}%)  "
-              f"{tfs:7.1f} TF/s  ideal {ideal_ms:7.3f} ms", flush=True)
 
-    ideal_step_ms = sum(r["ideal_ms"] for r in rows)
-    ceiling = total / (ideal_step_ms / 1e3) / 1e12
+    # families measured once across lanes: the per_step/cached/int8 lanes
+    # share most shapes, only the inventory (and the int8 families' dtype)
+    # differs — key the measurement cache on (shape, dtype-class)
+    measured = {}
+
+    def rate_of(m, k, n, batch, is_int8):
+        mkey = (m, k, n, batch, is_int8)
+        if mkey not in measured:
+            if is_int8:
+                measured[mkey] = measure_family_int8(
+                    jax, jnp, m, k, n, batch, iters)
+            else:
+                measured[mkey] = measure_family(
+                    jax, jnp, m, k, n, batch, iters, dtype)
+        return measured[mkey]
+
+    lanes_out = {}
+    for lane in lanes:
+        gemms = F.promptsrc_step_gemms(cfg, args.batch, args.classes,
+                                       text_len, n_vpt=4, teacher=lane)
+        total = F.total_flops(gemms)
+
+        # dedup into measurement families by (m, k, n, batch, int8?);
+        # accumulate step FLOPs per family.  The dgrad GEMMs of a linear
+        # have the transposed geometry of its forward — the ping-pong chain
+        # measures both, so fold (m,k,n) and (m,n,k) into one family keyed
+        # by the forward orientation.  In the int8 lane the quantized
+        # teacher GEMMs form int8 families measured with the W8A8 chain.
+        fams = {}
+        for g in gemms:
+            is_int8 = lane == "int8" and g.name in _INT8_TEACHER_GEMMS
+            key = (g.m, *sorted((g.k, g.n)), g.batch, is_int8)
+            fams.setdefault(key, {"flops": 0, "names": set(),
+                                  "op_class": g.op_class})
+            fams[key]["flops"] += g.flops
+            fams[key]["names"].add(g.name.replace("_dgrad", ""))
+
+        print(f"--- lane: {lane} ---", flush=True)
+        rows = []
+        for (m, k, n, batch, is_int8), info in sorted(
+                fams.items(), key=lambda kv: -kv[1]["flops"]):
+            tfs = rate_of(m, k, n, batch, is_int8)
+            share = info["flops"] / total
+            ideal_ms = info["flops"] / (tfs * 1e12) * 1e3
+            rows.append({
+                "shape": f"{batch}x({m},{k})x({k},{n})" if batch > 1
+                         else f"({m},{k})x({k},{n})",
+                "op_class": info["op_class"],
+                "dtype": "int8" if is_int8 else
+                         ("bf16" if dtype == jnp.bfloat16 else "f32"),
+                "names": sorted(info["names"]),
+                "step_gflops": round(info["flops"] / 1e9, 1),
+                "flop_share_pct": round(100 * share, 1),
+                "measured_tflops": round(tfs, 1),
+                "ideal_ms": round(ideal_ms, 3),
+            })
+            print(f"  {rows[-1]['shape']:36s} {rows[-1]['op_class']:12s} "
+                  f"{rows[-1]['dtype']:4s} "
+                  f"{rows[-1]['step_gflops']:9.1f} GF "
+                  f"({rows[-1]['flop_share_pct']:4.1f}%)  "
+                  f"{tfs:7.1f} TF/s  ideal {ideal_ms:7.3f} ms", flush=True)
+
+        ideal_step_ms = sum(r["ideal_ms"] for r in rows)
+        ceiling = total / (ideal_step_ms / 1e3) / 1e12
+        print(f"lane {lane}: step GEMM FLOPs {total/1e9:.1f} GF, "
+              f"ideal {ideal_step_ms:.2f} ms, "
+              f"composite ceiling {ceiling:.1f} TF/s")
+        lanes_out[lane] = {
+            "ceiling_tflops": round(ceiling, 2),
+            "ideal_step_ms": round(ideal_step_ms, 3),
+            "step_gemm_gflops": round(total / 1e9, 2),
+            "families": rows,
+        }
+
     # sanity anchor: the round-3 dense-chain number for comparison
     sanity = measure_family(jax, jnp, 4096, 4096, 4096, 1, iters, dtype,
                             par=2)
     print(f"sanity 4096^3 ping-pong (2 chains): {sanity:.1f} TF/s")
-    print(f"\nstep GEMM FLOPs: {total/1e9:.1f} GF (true, 2/MAC)")
-    print(f"ideal GEMM-only step time: {ideal_step_ms:.2f} ms")
-    print(f"composite step-shaped ceiling: {ceiling:.1f} TF/s")
 
+    first = lanes_out[lanes[0]]
     result = {
-        "ceiling_tflops": round(ceiling, 2),
-        "ideal_step_ms": round(ideal_step_ms, 3),
-        "step_gemm_gflops": round(total / 1e9, 2),
+        # top-level keys mirror the first lane for backward compatibility
+        # with single-lane readers; bench.py prefers the "lanes" dict
+        "ceiling_tflops": first["ceiling_tflops"],
+        "ideal_step_ms": first["ideal_step_ms"],
+        "step_gemm_gflops": first["step_gemm_gflops"],
         "convention": "true FLOPs (2/MAC), dgrad-only backward",
         "sanity_dense_4096_tflops": round(sanity, 1),
         "config": {"arch": os.environ.get("BENCH_ARCH", "ViT-B/16"),
                    "batch": args.batch, "classes": args.classes,
-                   "text_len": text_len, "teacher": args.teacher,
+                   "text_len": text_len, "teacher": lanes[0],
                    "iters": iters, "backend": jax.default_backend()},
         "source": "tools/calibrate_ceiling.py (step-shaped GEMM ping-pong)",
-        "families": rows,
+        "families": first["families"],
+        "lanes": lanes_out,
     }
     if args.dry and args.out == ap.get_default("out"):
         print("(--dry: not writing CEILING.json)")
@@ -213,12 +341,15 @@ def main():
         print(f"wrote {args.out}")
 
     # markdown roofline table for PERF.md
-    print("\n| shape | op class | step GF | share | TF/s | ideal ms |")
-    print("|---|---|---|---|---|---|")
-    for r in rows:
-        print(f"| `{r['shape']}` | {r['op_class']} | {r['step_gflops']} "
-              f"| {r['flop_share_pct']}% | {r['measured_tflops']} "
-              f"| {r['ideal_ms']} |")
+    for lane, lo in lanes_out.items():
+        print(f"\nlane `{lane}` (composite {lo['ceiling_tflops']} TF/s):")
+        print("| shape | op class | dtype | step GF | share | TF/s "
+              "| ideal ms |")
+        print("|---|---|---|---|---|---|---|")
+        for r in lo["families"]:
+            print(f"| `{r['shape']}` | {r['op_class']} | {r['dtype']} "
+                  f"| {r['step_gflops']} | {r['flop_share_pct']}% "
+                  f"| {r['measured_tflops']} | {r['ideal_ms']} |")
 
 
 if __name__ == "__main__":

@@ -3,8 +3,8 @@
 
 Parity evidence otherwise requires the read-only reference checkout + torch
 at test time (tests/reference_oracle.py).  This tool — run once on a box
-that HAS the checkout — freezes three oracle surfaces into small committed
-artifacts so the proof survives the reference's removal
+that HAS the checkout — freezes the oracle surfaces listed below into small
+committed artifacts so the proof survives the reference's removal
 (tests/test_golden_pack.py replays them with zero reference dependency):
 
   tokenizer.npz          ids from the reference SimpleTokenizer/clip.tokenize
