@@ -266,6 +266,87 @@ def load_openai_checkpoint(path):
     return clip_params_from_state_dict(sd)
 
 
+def export_openai_state_dict(params, cfg):
+    """Inverse of ``clip_params_from_state_dict``: fsvlm params pytree ->
+    OpenAI-format torch-key state dict (numpy values; wrap in
+    torch.from_numpy to load_state_dict into the reference CLIP,
+    clip/model.py:370-431).  Used by the golden-pack generator to feed
+    deterministically regenerable full-shape weights (random_clip_params)
+    to the torch oracle, so committed full-shape goldens need only the
+    seed, not hundreds of MB of weights."""
+    sd = {}
+
+    def unstack(prefix, blocks, n_layers):
+        for i in range(n_layers):
+            sd[f"{prefix}.resblocks.{i}.ln_1.weight"] = blocks["ln_1"]["scale"][i]
+            sd[f"{prefix}.resblocks.{i}.ln_1.bias"] = blocks["ln_1"]["bias"][i]
+            sd[f"{prefix}.resblocks.{i}.attn.in_proj_weight"] = (
+                np.asarray(blocks["attn"]["w_qkv"][i]).T)
+            sd[f"{prefix}.resblocks.{i}.attn.in_proj_bias"] = blocks["attn"]["b_qkv"][i]
+            sd[f"{prefix}.resblocks.{i}.attn.out_proj.weight"] = (
+                np.asarray(blocks["attn"]["w_out"][i]).T)
+            sd[f"{prefix}.resblocks.{i}.attn.out_proj.bias"] = blocks["attn"]["b_out"][i]
+            sd[f"{prefix}.resblocks.{i}.ln_2.weight"] = blocks["ln_2"]["scale"][i]
+            sd[f"{prefix}.resblocks.{i}.ln_2.bias"] = blocks["ln_2"]["bias"][i]
+            sd[f"{prefix}.resblocks.{i}.mlp.c_fc.weight"] = (
+                np.asarray(blocks["mlp"]["w_fc"][i]).T)
+            sd[f"{prefix}.resblocks.{i}.mlp.c_fc.bias"] = blocks["mlp"]["b_fc"][i]
+            sd[f"{prefix}.resblocks.{i}.mlp.c_proj.weight"] = (
+                np.asarray(blocks["mlp"]["w_proj"][i]).T)
+            sd[f"{prefix}.resblocks.{i}.mlp.c_proj.bias"] = blocks["mlp"]["b_proj"][i]
+
+    v = params["visual"]
+    if cfg.is_vit:
+        sd["visual.conv1.weight"] = np.asarray(v["patch_embed"]).transpose(3, 2, 0, 1)
+        sd["visual.class_embedding"] = v["class_embedding"]
+        sd["visual.positional_embedding"] = v["positional_embedding"]
+        sd["visual.ln_pre.weight"] = v["ln_pre"]["scale"]
+        sd["visual.ln_pre.bias"] = v["ln_pre"]["bias"]
+        unstack("visual.transformer", v["blocks"], cfg.vision_layers)
+        sd["visual.ln_post.weight"] = v["ln_post"]["scale"]
+        sd["visual.ln_post.bias"] = v["ln_post"]["bias"]
+        sd["visual.proj"] = v["proj"]
+    else:
+        def put_bn(prefix, bn):
+            sd[prefix + ".weight"] = bn["scale"]
+            sd[prefix + ".bias"] = bn["bias"]
+            sd[prefix + ".running_mean"] = bn["mean"]
+            sd[prefix + ".running_var"] = bn["var"]
+            sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+        def put_conv(prefix, w):
+            sd[prefix + ".weight"] = np.asarray(w).transpose(3, 2, 0, 1)
+
+        for i in (1, 2, 3):
+            put_conv(f"visual.conv{i}", v["stem"][f"conv{i}"])
+            put_bn(f"visual.bn{i}", v["stem"][f"bn{i}"])
+        for li, stage in enumerate(v["layers"], start=1):
+            for b, block in enumerate(stage):
+                p = f"visual.layer{li}.{b}"
+                for c in ("conv1", "conv2", "conv3"):
+                    put_conv(f"{p}.{c}", block[c])
+                for bn in ("bn1", "bn2", "bn3"):
+                    put_bn(f"{p}.{bn}", block[bn])
+                if "downsample" in block:
+                    put_conv(f"{p}.downsample.0", block["downsample"]["conv"])
+                    put_bn(f"{p}.downsample.1", block["downsample"]["bn"])
+        ap = v["attnpool"]
+        sd["visual.attnpool.positional_embedding"] = ap["positional_embedding"]
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            sd[f"visual.attnpool.{proj}.weight"] = np.asarray(ap[proj]["w"]).T
+            sd[f"visual.attnpool.{proj}.bias"] = ap[proj]["b"]
+
+    t = params["text"]
+    sd["token_embedding.weight"] = t["token_embedding"]
+    sd["positional_embedding"] = t["positional_embedding"]
+    unstack("transformer", t["blocks"], cfg.transformer_layers)
+    sd["ln_final.weight"] = t["ln_final"]["scale"]
+    sd["ln_final.bias"] = t["ln_final"]["bias"]
+    sd["text_projection"] = t["text_projection"]
+    sd["logit_scale"] = np.asarray(params["logit_scale"])
+    return {k: np.ascontiguousarray(np.asarray(val)) for k, val in sd.items()}
+
+
 # --------------------------------------------------------------------------
 # random initialization (tests, benchmarks, dry-runs; no network access)
 # --------------------------------------------------------------------------

@@ -83,8 +83,13 @@ def _attention_pool(x, p, n_heads):
     return out
 
 
-def encode_image_resnet(params, cfg, images, compute_dtype=jnp.float32):
-    """images: (B, H, W, 3) CLIP-normalized NHWC."""
+def encode_image_resnet(params, cfg, images, compute_dtype=jnp.float32,
+                        collect_stages=False):
+    """images: (B, H, W, 3) CLIP-normalized NHWC.
+
+    collect_stages: also return the four stage outputs (NHWC) — golden
+    comparison surface against the reference's layer1..4 (clip/model.py
+    ModifiedResNet.forward)."""
     v = params["visual"]
     x = images.astype(compute_dtype)
 
@@ -94,10 +99,14 @@ def encode_image_resnet(params, cfg, images, compute_dtype=jnp.float32):
     x = jax.nn.relu(_bn(_conv(x, s["conv3"], padding=((1, 1), (1, 1))), s["bn3"]))
     x = _avg_pool(x, 2)
 
+    stages = []
     for li, stage in enumerate(v["layers"]):
         stride = 1 if li == 0 else 2
         for bi, block in enumerate(stage):
             x = _bottleneck(x, block, stride if bi == 0 else 1)
+        stages.append(x)
 
     x = _attention_pool(x, v["attnpool"], cfg.vision_heads)
+    if collect_stages:
+        return x.astype(jnp.float32), stages
     return x.astype(jnp.float32)

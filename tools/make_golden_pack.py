@@ -33,8 +33,16 @@ committed artifacts so the proof survives the reference's removal
   dann_trajectory.npz    8-step DANN trace through the REAL Dassl
                          forward_backward (dassl/engine/da/dann.py): losses,
                          net/critic weight + critic-BN-state trajectories
+  vit_full_shape.npz     FULL-SHAPE ViT-B/16 @ 224^2 per-block goldens
+                         (sub-sampled fp16 + moments; weights regenerated
+                         from seeds via golden_pack_common +
+                         export_openai_state_dict) + dense features/logits
+  rn50_full_shape.npz    FULL-SHAPE RN50 @ 224^2 per-stage goldens + the
+                         7x7 attention-pooled features, same compression
 
 Usage:  python tools/make_golden_pack.py   (writes tests/golden_pack/)
+        python tools/make_golden_pack.py full_shape_vit full_shape_rn ...
+                                           (regenerate selected packs)
 """
 
 import os
@@ -577,20 +585,158 @@ def make_dann_trajectory_pack():
     print(f"dann_trajectory.npz: {n_steps} steps")
 
 
+def _reference_clip_from_params(params, cfg):
+    """Instantiate the reference torch CLIP at cfg's shape and load OUR
+    deterministically-regenerable weights into it (export_openai_state_dict
+    -> load_state_dict(strict=True)) — full-shape goldens without
+    committing the weights (golden_pack_common: seeds are the source)."""
+    import torch
+
+    from reference_oracle import import_reference_clip
+
+    import_reference_clip()
+    from clip.model import CLIP
+
+    from fsvlm_tpu.models.clip.convert import export_openai_state_dict
+
+    design = {"trainer": "CoOp", "vision_depth": 0, "language_depth": 0,
+              "vision_ctx": 0, "language_ctx": 0}
+    model = CLIP(
+        embed_dim=cfg.embed_dim,
+        image_resolution=cfg.image_resolution,
+        vision_layers=cfg.vision_layers,
+        vision_width=cfg.vision_width,
+        vision_patch_size=cfg.vision_patch_size,
+        context_length=cfg.context_length,
+        vocab_size=cfg.vocab_size,
+        transformer_width=cfg.transformer_width,
+        transformer_heads=cfg.transformer_heads,
+        transformer_layers=cfg.transformer_layers,
+        design_details=design,
+    ).float().eval()
+    sd = export_openai_state_dict(params, cfg)
+    model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    return model
+
+
+def make_full_shape_vit_pack():
+    """ViT-B/16 @ 224^2 per-block goldens, compressed (sub-sampled fp16 +
+    moments, golden_pack_common.subsample) — the full-shape machinery the
+    tiny packs don't reach: 14x14 patch grid, 197-token pos-emb
+    (reference clip/model.py:370-431)."""
+    import torch
+
+    import golden_pack_common as C
+
+    from fsvlm_tpu.models.clip.tokenizer import tokenize
+
+    params, cfg = C.full_shape_vit_params()
+    model = _reference_clip_from_params(params, cfg)
+
+    imgs = C.golden_images(2, C.IMAGES_SEED_VIT)
+    ids = tokenize(C.PROMPTS)
+    with torch.no_grad():
+        imf = model.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    vis_blocks = [f.permute(1, 0, 2).numpy()
+                  for f in model.visual.transformer.saved_features]
+    assert len(vis_blocks) == 12 and vis_blocks[0].shape == (2, 197, 768)
+
+    with torch.no_grad():
+        txf = model.encode_text(torch.from_numpy(ids).long()).numpy()
+        logits, _ = model(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+            torch.from_numpy(ids).long(),
+        )
+    text_blocks = [f.permute(1, 0, 2).numpy()
+                   for f in model.transformer.saved_features]
+    assert len(text_blocks) == 12 and text_blocks[0].shape == (3, 77, 512)
+
+    rng = np.random.RandomState(0)
+    arrays = {"ids": ids.astype(np.int32)}
+    for i, blk in enumerate(vis_blocks):
+        arrays.update(C.subsample(f"vis_block_{i}", blk, rng))
+    for i, blk in enumerate(text_blocks):
+        arrays.update(C.subsample(f"text_block_{i}", blk, rng))
+    # the final surfaces are small — store dense
+    arrays["image_features"] = imf.astype(np.float32)
+    arrays["text_features"] = txf.astype(np.float32)
+    arrays["logits_per_image"] = logits.numpy().astype(np.float32)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "vit_full_shape.npz"), **arrays)
+    print(f"vit_full_shape.npz: 24 sub-sampled blocks "
+          f"(k={C.SUBSAMPLE_K}) + dense features/logits")
+
+
+def make_full_shape_rn_pack():
+    """RN50 @ 224^2 goldens: per-stage outputs (forward hooks on
+    layer1..4) + the 7x7 attention pool's pooled features (reference
+    clip/model.py:56-150), compressed like the ViT pack.  Weights are the
+    BN-perturbed non-degenerate construction (golden_pack_common)."""
+    import torch
+
+    import golden_pack_common as C
+
+    params, cfg = C.full_shape_rn50_params()
+    model = _reference_clip_from_params(params, cfg)
+
+    imgs = C.golden_images(2, C.IMAGES_SEED_RN)
+    stages = {}
+    hooks = [
+        getattr(model.visual, f"layer{i}").register_forward_hook(
+            lambda m, inp, out, i=i: stages.__setitem__(
+                f"stage{i}", out.detach().numpy()))
+        for i in (1, 2, 3, 4)
+    ]
+    with torch.no_grad():
+        feat = model.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    for h in hooks:
+        h.remove()
+    assert stages["stage4"].shape == (2, 2048, 7, 7), stages["stage4"].shape
+
+    rng = np.random.RandomState(0)
+    arrays = {}
+    for i in (1, 2, 3, 4):
+        # torch NCHW -> our NHWC layout for comparison
+        arrays.update(C.subsample(
+            f"stage{i}", stages[f"stage{i}"].transpose(0, 2, 3, 1), rng))
+    arrays["image_features"] = feat.astype(np.float32)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "rn50_full_shape.npz"), **arrays)
+    print(f"rn50_full_shape.npz: 4 sub-sampled stages (k={C.SUBSAMPLE_K})"
+          f" + dense pooled features")
+
+
+MAKERS = {
+    "tokenizer": make_tokenizer_pack,
+    "text_tower": make_text_tower_pack,
+    "vision_tower": make_vision_tower_pack,
+    "rn_tower": make_rn_tower_pack,
+    "coop": make_coop_trajectory_pack,
+    "promptsrc": make_promptsrc_trajectory_pack,
+    "cocoop": make_cocoop_trajectory_pack,
+    "dann": make_dann_trajectory_pack,
+    "full_shape_vit": make_full_shape_vit_pack,
+    "full_shape_rn": make_full_shape_rn_pack,
+}
+
+
 def main():
     from reference_oracle import reference_available
 
     if not reference_available():
         raise SystemExit("reference checkout not available; nothing to do")
     os.makedirs(OUT_DIR, exist_ok=True)
-    make_tokenizer_pack()
-    make_text_tower_pack()
-    make_vision_tower_pack()
-    make_rn_tower_pack()
-    make_coop_trajectory_pack()
-    make_promptsrc_trajectory_pack()
-    make_cocoop_trajectory_pack()
-    make_dann_trajectory_pack()
+    selected = sys.argv[1:] or list(MAKERS)
+    unknown = [s for s in selected if s not in MAKERS]
+    if unknown:
+        raise SystemExit(f"unknown packs {unknown}; choose from {list(MAKERS)}")
+    for name in selected:
+        MAKERS[name]()
     for f in sorted(os.listdir(OUT_DIR)):
         p = os.path.join(OUT_DIR, f)
         print(f"  {f}: {os.path.getsize(p) / 1e3:.1f} kB")
