@@ -180,6 +180,66 @@ def promptsrc_step_gemms(cfg, batch, n_cls, text_len, n_vpt=4,
     return gemms
 
 
+def _scale_counts(gemms, factor) -> List[Gemm]:
+    return [dataclasses.replace(g, count=g.count * factor) for g in gemms]
+
+
+def cocoop_step_gemms(cfg, batch, n_cls, text_len, chunk=0,
+                      remat=True) -> List[Gemm]:
+    """GEMM inventory of one CoCoOp train step (trainers/cocoop.py).
+
+    The step is text-dominated: the meta-net conditions the context per
+    image, so the text tower runs over batch*n_cls prompt rows fwd+bwd
+    (the reference loops per image at bs 1, cocoop.py:247-251; the rebuild
+    batches or class-chunks it).  The image tower is frozen AND has no
+    learnable params upstream, so it is forward-only — no dgrad at all.
+
+    chunk: TRAINER.COCOOP.CLASS_CHUNK.  >0 = the class-chunked lax.scan —
+    executed text GEMMs are (batch*chunk*L, D)-shaped, repeated
+    ceil(n_cls/chunk) times, and jax.checkpoint recomputes each block's
+    forward during the backward (remat=True counts text fwd twice).
+    0 = fully batched single pass.
+    """
+    gemms = []
+    gemms += vit_image_gemms(cfg, batch, n_vpt=0, backward=False,
+                             prefix="image")
+    # meta-net MLP fwd+bwd(dgrad+wgrad): (B,embed)x(embed,embed/16) family —
+    # ~1e-5 of the step, counted for completeness
+    hidden = max(cfg.embed_dim // 16, 1)
+    gemms.append(Gemm("meta_net", "proj", batch, cfg.embed_dim, hidden,
+                      count=3))
+    gemms.append(Gemm("meta_net2", "proj", batch, hidden,
+                      cfg.transformer_width, count=3))
+
+    if chunk <= 0 or chunk >= n_cls:
+        chunk, n_chunks, tail = n_cls, 1, 0
+    else:
+        n_chunks, tail = divmod(n_cls, chunk)
+    chunked = n_chunks > 1 or tail > 0
+
+    def text_block(rows, mult):
+        fwd = text_gemms(cfg, rows, text_len, backward=False, prefix="text")
+        dgrad = [g for g in text_gemms(cfg, rows, text_len, backward=True,
+                                       prefix="text")
+                 if g not in fwd]
+        fwd_reps = 2 if (remat and chunked) else 1
+        return _scale_counts(fwd, mult * fwd_reps) + _scale_counts(dgrad, mult)
+
+    gemms += text_block(batch * chunk, n_chunks)
+    if tail:
+        gemms += text_block(batch * tail, 1)
+    # logits einsum be,bce->bc fwd + its two bwd einsums
+    gemms.append(Gemm("logits_bmm", "proj", 1, cfg.embed_dim, n_cls,
+                      batch=batch, count=3))
+    return gemms
+
+
+def cocoop_step_flops(cfg, batch, n_cls, text_len, chunk=0,
+                      remat=True) -> int:
+    return total_flops(cocoop_step_gemms(
+        cfg, batch, n_cls, text_len, chunk=chunk, remat=remat))
+
+
 def total_flops(gemms) -> int:
     return sum(g.flops for g in gemms)
 

@@ -209,6 +209,14 @@ def main():
     ap.add_argument("--teacher", default=None,
                     choices=["per_step", "cached", "int8"],
                     help="(legacy) calibrate a single lane")
+    ap.add_argument("--step", default="promptsrc",
+                    choices=["promptsrc", "cocoop"],
+                    help="which train step's GEMM inventory to calibrate; "
+                         "cocoop = the class-chunked CoCoOp step "
+                         "(VERDICT r4 next #4) — use with --batch/--classes"
+                         "/--cocoop-chunk and an explicit --out")
+    ap.add_argument("--cocoop-chunk", type=int, default=128,
+                    help="TRAINER.COCOOP.CLASS_CHUNK for --step cocoop")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CEILING.json"))
@@ -231,8 +239,11 @@ def main():
     # the bench's EOT-truncated text length for "a photo of a class {i}."
     # prompts is 10 (build_prompt_context(truncate=True)); keep in sync
     text_len = int(os.environ.get("BENCH_TEXT_LEN", "10"))
-    lanes = ([args.teacher] if args.teacher
-             else [s.strip() for s in args.lanes.split(",") if s.strip()])
+    if args.step == "cocoop":
+        lanes = ["cocoop"]
+    else:
+        lanes = ([args.teacher] if args.teacher
+                 else [s.strip() for s in args.lanes.split(",") if s.strip()])
 
     iters = 2 if args.dry else args.iters
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
@@ -255,8 +266,12 @@ def main():
 
     lanes_out = {}
     for lane in lanes:
-        gemms = F.promptsrc_step_gemms(cfg, args.batch, args.classes,
-                                       text_len, n_vpt=4, teacher=lane)
+        if lane == "cocoop":
+            gemms = F.cocoop_step_gemms(cfg, args.batch, args.classes,
+                                        text_len, chunk=args.cocoop_chunk)
+        else:
+            gemms = F.promptsrc_step_gemms(cfg, args.batch, args.classes,
+                                           text_len, n_vpt=4, teacher=lane)
         total = F.total_flops(gemms)
 
         # dedup into measurement families by (m, k, n, batch, int8?);
@@ -328,6 +343,9 @@ def main():
         "config": {"arch": os.environ.get("BENCH_ARCH", "ViT-B/16"),
                    "batch": args.batch, "classes": args.classes,
                    "text_len": text_len, "teacher": lanes[0],
+                   "step": args.step,
+                   **({"cocoop_chunk": args.cocoop_chunk}
+                      if args.step == "cocoop" else {}),
                    "iters": iters, "backend": jax.default_backend()},
         "source": "tools/calibrate_ceiling.py (step-shaped GEMM ping-pong)",
         "families": first["families"],
