@@ -10,7 +10,9 @@ import os
 import sys
 import types
 
-REFERENCE_ROOT = "/root/reference"
+# FSVLM_REFERENCE_ROOT=/nonexistent simulates the reference's removal —
+# the committed golden packs must keep every parity-coverage class alive
+REFERENCE_ROOT = os.environ.get("FSVLM_REFERENCE_ROOT", "/root/reference")
 _PROMPTSRC = os.path.join(REFERENCE_ROOT, "PromptSRC")
 
 

@@ -21,17 +21,137 @@ NCHW feature order (c*H*W + h*W + w) and our NHWC order
 (h*W*C + w*C + c) for every layer consuming backbone features.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from reference_oracle import import_reference_trainers, reference_available
 
-pytestmark = [
-    pytest.mark.slow,
-    pytest.mark.skipif(
-        not reference_available(), reason="reference checkout not available"
-    ),
-]
+pytestmark = [pytest.mark.slow]
+
+# --------------------------------------------------------------------------
+# Reference-trace record/replay (VERDICT r4 missing #2, zoo half)
+#
+# With the reference checkout present, each test drives the REAL Dassl
+# forward_backward live (as always) — and, when ZOO_PACK_STAGE is set,
+# freezes the trace (shared init weights + per-step outputs + per-step
+# weight snapshots) into <stage>/<name>.npz.  tools/make_golden_pack.py
+# commits those under tests/golden_pack/zoo/, and when the checkout is
+# ABSENT the same tests replay the committed traces instead of skipping —
+# deleting the reference loses zero zoo-parity coverage.
+# --------------------------------------------------------------------------
+
+ZOO_PACK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "golden_pack", "zoo")
+
+
+def _flatten_tree(tree, prefix, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten_tree(v, f"{prefix}/{k}", out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten_tree(v, f"{prefix}/{i}", out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat, prefix):
+    """Rebuild the nested structure under `prefix` (dicts; int-keyed levels
+    become lists)."""
+    sub = {}
+    plen = len(prefix) + 1
+    for key, v in flat.items():
+        if not key.startswith(prefix + "/"):
+            continue
+        parts = key[plen:].split("/")
+        node = sub
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    assert sub, f"no keys under {prefix!r} in the trace"
+    return listify(sub)
+
+
+def _subset(tree, paths):
+    """Project a nested dict onto the given "a/b/c" paths (what the test
+    compares) — keeps the staged artifacts to the asserted tensors."""
+    out = {}
+    for p in paths:
+        parts = p.split("/")
+        node = tree
+        for q in parts:
+            node = node[int(q)] if isinstance(node, (list, tuple)) else node[q]
+        dst = out
+        for q in parts[:-1]:
+            dst = dst.setdefault(q, {})
+        dst[parts[-1]] = node
+    return out
+
+
+class _Trace:
+    """Uniform accessor over a live-computed or pack-replayed trace."""
+
+    def __init__(self, flat):
+        self.flat = flat
+
+    def init(self, name):
+        return _unflatten(self.flat, f"init/{name}")
+
+    def out(self, key, k):
+        return float(self.flat[f"out/{key}"][k])
+
+    def snap(self, path, k):
+        return self.flat[f"snap/{path}"][k].astype(np.float32)
+
+
+def ref_trace(name, builder):
+    """Live-drive the reference via `builder` (and stage for the pack when
+    ZOO_PACK_STAGE is set), or replay tests/golden_pack/zoo/<name>.npz.
+
+    builder() -> (inits, ref_out, ref_snap):
+      inits:   {group: nested pytree} — the shared starting weights/state
+      ref_out: list over steps of {metric: float}
+      ref_snap: list over steps of nested array dicts (what the test
+                compares; keep it to the compared tensors)
+    """
+    if reference_available():
+        inits, ref_out, ref_snap = builder()
+        flat = {}
+        for group, tree in inits.items():
+            _flatten_tree(tree, f"init/{group}", flat)
+        for key in ref_out[0]:
+            flat[f"out/{key}"] = np.asarray(
+                [float(o[key]) for o in ref_out], np.float64)
+        snap_flat = [dict() for _ in ref_snap]
+        for k, snap in enumerate(ref_snap):
+            _flatten_tree(snap, "snap", snap_flat[k])
+        for key in snap_flat[0]:
+            # fp16 storage: quantization error <=4.9e-4 relative, well
+            # inside the _assert_close budget (rtol 2e-3; and below atol
+            # 3e-5 wherever |v| is small enough for atol to bind)
+            flat[key] = np.stack([s[key] for s in snap_flat]).astype(
+                np.float16)
+        stage = os.environ.get("ZOO_PACK_STAGE")
+        if stage:
+            os.makedirs(stage, exist_ok=True)
+            np.savez_compressed(os.path.join(stage, f"{name}.npz"), **flat)
+        return _Trace(flat)
+    path = os.path.join(ZOO_PACK_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no reference checkout and no committed zoo trace "
+                    f"{name}.npz")
+    return _Trace(dict(np.load(path, allow_pickle=False)))
 
 N_EPOCHS = 4
 STEPS_PER_EPOCH = 2
@@ -219,29 +339,36 @@ def test_vanilla_dg_trajectory_parity(tmp_path):
     """dg/vanilla.py (ERM): CE -> backward -> SGD(momentum, wd) -> cosine
     epoch staircase.  Whole-net weight trajectories (conv stack + the
     flatten-permuted classifier) must match step-for-step."""
-    import_reference_trainers()
-    from dassl.engine.dg.vanilla import Vanilla as RefVanilla
-
     cfg = _zoo_cfg(tmp_path)
     cfg.TRAINER.NAME = "Vanilla"
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_params = _convert_net(model, N_CLS)
     batches = _batches(N_EPOCHS * STEPS_PER_EPOCH, BX, seed=3)
 
-    shim = _base_shim(RefVanilla, cfg, model)
-    ref_losses, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        for bi in range(STEPS_PER_EPOCH):
-            imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
-            shim.batch_idx = bi
-            out = shim.forward_backward(_torch_batch(imgs, labels))
-            ref_losses.append(out["loss"])
-            ref_snap.append(_convert_net(model, N_CLS))
+    def build():
+        import_reference_trainers()
+        from dassl.engine.dg.vanilla import Vanilla as RefVanilla
+
+        model = _ref_simplenet(cfg, N_CLS)
+        init_params = _convert_net(model, N_CLS)
+        shim = _base_shim(RefVanilla, cfg, model)
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            for bi in range(STEPS_PER_EPOCH):
+                imgs, labels = batches[ep * STEPS_PER_EPOCH + bi]
+                shim.batch_idx = bi
+                out = shim.forward_backward(_torch_batch(imgs, labels))
+                ref_out.append({"loss": out["loss"]})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "backbone/conv3/w",
+                     "classifier/w", "classifier/b"]))
+        return {"net": init_params}, ref_out, ref_snap
+
+    tr = ref_trace("vanilla", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_params)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_losses, our_snap = [], []
@@ -264,17 +391,18 @@ def test_vanilla_dg_trajectory_parity(tmp_path):
     _drive_ours(ours, stepper, record)
 
     for k in range(N_EPOCHS * STEPS_PER_EPOCH):
-        assert abs(our_losses[k] - ref_losses[k]) < 5e-4 * (
-            1 + abs(ref_losses[k])
-        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_losses[k]}"
+        ref_loss = tr.out("loss", k)
+        assert abs(our_losses[k] - ref_loss) < 5e-4 * (
+            1 + abs(ref_loss)
+        ), f"loss diverged at step {k}: {our_losses[k]} vs {ref_loss}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["conv3"],
-                      ref_snap[k]["backbone"]["conv3"]["w"], "conv3", k)
+                      tr.snap("backbone/conv3/w", k), "conv3", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)
         _assert_close(our_snap[k]["cls_b"],
-                      ref_snap[k]["classifier"]["b"], "classifier b", k)
+                      tr.snap("classifier/b", k), "classifier b", k)
 
 
 def _convert_critic(torch_critic):
@@ -303,63 +431,72 @@ def test_dann_trajectory_parity(tmp_path):
     BN-carrying mlp critic), both stepped per batch.  Net weights, critic
     weights, AND critic BN running statistics must track the reference
     step-for-step."""
-    import torch
-    import torch.nn as nn
-
-    import_reference_trainers()
-    from dassl.engine.da.dann import DANN as RefDANN
-    from dassl.modeling import build_head
-    from dassl.modeling.ops import ReverseGrad
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "DANN"
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    torch.manual_seed(17)
-    critic_body = build_head(
-        "mlp", verbose=False, in_features=FDIM,
-        hidden_layers=[FDIM, FDIM], activation="leaky_relu",
-    )
-    critic = nn.Sequential(critic_body, nn.Linear(FDIM, 1)).float()
-    init_net = _convert_net(model, N_CLS)
-    init_critic, init_critic_state = _convert_critic(critic)
-
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=5)
     bu_batches = _batches(n_steps, BU, seed=6)
 
-    shim = _base_shim(RefDANN, cfg, model)
-    shim.critic = critic
-    shim.optim_c = build_optimizer(critic, cfg.OPTIM)
-    shim.sched_c = build_lr_scheduler(shim.optim_c, cfg.OPTIM)
-    shim.register_model("critic", critic, shim.optim_c, shim.sched_c)
-    shim.revgrad = ReverseGrad()
-    shim.ce = nn.CrossEntropyLoss()
-    shim.bce = nn.BCEWithLogitsLoss()
+    def build():
+        import torch
+        import torch.nn as nn
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k])
-            )
-            ref_out.append(out)
-            cp, cs = _convert_critic(critic)
-            ref_snap.append(
-                {"net": _convert_net(model, N_CLS), "critic": cp, "cstate": cs}
-            )
+        import_reference_trainers()
+        from dassl.engine.da.dann import DANN as RefDANN
+        from dassl.modeling import build_head
+        from dassl.modeling.ops import ReverseGrad
+        from dassl.optim import build_lr_scheduler, build_optimizer
+
+        model = _ref_simplenet(cfg, N_CLS)
+        torch.manual_seed(17)
+        critic_body = build_head(
+            "mlp", verbose=False, in_features=FDIM,
+            hidden_layers=[FDIM, FDIM], activation="leaky_relu",
+        )
+        critic = nn.Sequential(critic_body, nn.Linear(FDIM, 1)).float()
+        init_net = _convert_net(model, N_CLS)
+        init_critic, init_critic_state = _convert_critic(critic)
+
+        shim = _base_shim(RefDANN, cfg, model)
+        shim.critic = critic
+        shim.optim_c = build_optimizer(critic, cfg.OPTIM)
+        shim.sched_c = build_lr_scheduler(shim.optim_c, cfg.OPTIM)
+        shim.register_model("critic", critic, shim.optim_c, shim.sched_c)
+        shim.revgrad = ReverseGrad()
+        shim.ce = nn.CrossEntropyLoss()
+        shim.bce = nn.BCEWithLogitsLoss()
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k])
+                )
+                ref_out.append({k2: out[k2] for k2 in ("loss_x", "loss_d")})
+                cp, cs = _convert_critic(critic)
+                ref_snap.append(_subset(
+                    {"net": _convert_net(model, N_CLS),
+                     "critic": cp, "cstate": cs},
+                    ["net/backbone/conv0/w", "net/classifier/w",
+                     "critic/fc0/w", "critic/bn0/scale", "critic/out/w",
+                     "cstate/bn0/mean", "cstate/bn0/var"]))
+        return ({"net": init_net, "critic": init_critic,
+                 "cstate": init_critic_state}, ref_out, ref_snap)
+
+    tr = ref_trace("dann", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"net", "critic"}
-    ours.params = {"net": _to_jnp(init_net), "critic": _to_jnp(init_critic)}
+    ours.params = {"net": _to_jnp(tr.init("net")),
+                   "critic": _to_jnp(tr.init("critic"))}
     ours.model_state = {"net": ours.model_state["net"],
-                        "critic": _to_jnp(init_critic_state)}
+                        "critic": _to_jnp(tr.init("cstate"))}
     ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("net", "critic")}
 
     our_out, our_snap = [], []
@@ -390,23 +527,26 @@ def test_dann_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_d"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["net"]["conv0"],
-                      ref_snap[k]["net"]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("net/backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["net"]["cls_w"],
-                      ref_snap[k]["net"]["classifier"]["w"], "classifier W", k)
+                      tr.snap("net/classifier/w", k), "classifier W", k)
         _assert_close(our_snap[k]["critic"]["fc0_w"],
-                      ref_snap[k]["critic"]["fc0"]["w"], "critic fc0 W", k)
+                      tr.snap("critic/fc0/w", k), "critic fc0 W", k)
         _assert_close(our_snap[k]["critic"]["bn0_scale"],
-                      ref_snap[k]["critic"]["bn0"]["scale"], "critic bn0 scale", k)
+                      tr.snap("critic/bn0/scale", k), "critic bn0 scale", k)
         _assert_close(our_snap[k]["critic"]["out_w"],
-                      ref_snap[k]["critic"]["out"]["w"], "critic out W", k)
+                      tr.snap("critic/out/w", k), "critic out W", k)
         _assert_close(our_snap[k]["cstate"]["bn0_mean"],
-                      ref_snap[k]["cstate"]["bn0"]["mean"], "critic bn0 running mean", k)
+                      tr.snap("cstate/bn0/mean", k),
+                      "critic bn0 running mean", k)
         _assert_close(our_snap[k]["cstate"]["bn0_var"],
-                      ref_snap[k]["cstate"]["bn0"]["var"], "critic bn0 running var", k)
+                      tr.snap("cstate/bn0/var", k),
+                      "critic bn0 running var", k)
 
 
 def test_mean_teacher_trajectory_parity(tmp_path):
@@ -414,46 +554,52 @@ def test_mean_teacher_trajectory_parity(tmp_path):
     teacher updated AFTER the optimizer step with
     alpha = min(1 - 1/(step+1), ema_alpha).  Both the student weight
     trajectory and the EMA-teacher pytree must match step-for-step."""
-    import copy
-
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.ssl.mean_teacher import MeanTeacher as RefMT
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "MeanTeacher"
     cfg.TRAINER.MEANTEACHER.RAMPUP = 3  # inside the 4-epoch run
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_net = _convert_net(model, N_CLS)
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=13)
     bu_batches = _batches(n_steps, BU, seed=14)
 
-    shim = _base_shim(RefMT, cfg, model)
-    shim.weight_u = cfg.TRAINER.MEANTEACHER.WEIGHT_U
-    shim.ema_alpha = cfg.TRAINER.MEANTEACHER.EMA_ALPHA
-    shim.rampup = cfg.TRAINER.MEANTEACHER.RAMPUP
-    shim.teacher = copy.deepcopy(model)
-    shim.teacher.train()
-    for p in shim.teacher.parameters():
-        p.requires_grad_(False)
+    def build():
+        import copy
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k])
-            )
-            ref_out.append(out)
-            ref_snap.append({"net": _convert_net(model, N_CLS),
-                             "teacher": _convert_net(shim.teacher, N_CLS)})
+        import_reference_trainers()
+        from dassl.engine.ssl.mean_teacher import MeanTeacher as RefMT
+
+        model = _ref_simplenet(cfg, N_CLS)
+        init_net = _convert_net(model, N_CLS)
+        shim = _base_shim(RefMT, cfg, model)
+        shim.weight_u = cfg.TRAINER.MEANTEACHER.WEIGHT_U
+        shim.ema_alpha = cfg.TRAINER.MEANTEACHER.EMA_ALPHA
+        shim.rampup = cfg.TRAINER.MEANTEACHER.RAMPUP
+        shim.teacher = copy.deepcopy(model)
+        shim.teacher.train()
+        for p in shim.teacher.parameters():
+            p.requires_grad_(False)
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k])
+                )
+                ref_out.append({k2: out[k2] for k2 in ("loss_x", "loss_u")})
+                ref_snap.append(_subset(
+                    {"net": _convert_net(model, N_CLS),
+                     "teacher": _convert_net(shim.teacher, N_CLS)},
+                    ["net/backbone/conv0/w", "net/classifier/w",
+                     "teacher/backbone/conv0/w", "teacher/classifier/w"]))
+        return {"net": init_net}, ref_out, ref_snap
+
+    tr = ref_trace("mean_teacher", build)
+    init_net = tr.init("net")
 
     ours = _build_our_trainer(cfg)
     ours.params = {"net": _to_jnp(init_net)}
@@ -480,18 +626,19 @@ def test_mean_teacher_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["net"]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("net/backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["net"]["classifier"]["w"], "classifier W", k)
+                      tr.snap("net/classifier/w", k), "classifier W", k)
         _assert_close(our_snap[k]["t_conv0"],
-                      ref_snap[k]["teacher"]["backbone"]["conv0"]["w"],
+                      tr.snap("teacher/backbone/conv0/w", k),
                       "teacher conv0", k)
         _assert_close(our_snap[k]["t_cls_w"],
-                      ref_snap[k]["teacher"]["classifier"]["w"],
+                      tr.snap("teacher/classifier/w", k),
                       "teacher classifier W", k)
 
 
@@ -500,11 +647,6 @@ def test_fixmatch_trajectory_parity(tmp_path):
     threshold mask, CE on the strong views.  Identical weak/strong view
     tensors are fed to both sides; the mask pattern, losses, and weight
     trajectory must match."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.ssl.fixmatch import FixMatch as RefFM
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "FixMatch"
@@ -512,39 +654,51 @@ def test_fixmatch_trajectory_parity(tmp_path):
     cfg.TRAINER.FIXMATCH.CONF_THRE = 0.3  # random-init probs peak ~1/4
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_net = _convert_net(model, N_CLS)
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_w = _batches(n_steps, BX, seed=15)
     bx_s = _batches(n_steps, BX, seed=16)
     bu_w = _batches(n_steps, BU, seed=17)
     bu_s = _batches(n_steps, BU, seed=18)
 
-    shim = _base_shim(RefFM, cfg, model)
-    shim.weight_u = cfg.TRAINER.FIXMATCH.WEIGHT_U
-    shim.conf_thre = cfg.TRAINER.FIXMATCH.CONF_THRE
+    def build():
+        import torch
 
-    def torch_two_view(weak, strong, labels):
-        b = _torch_batch(weak, labels)
-        b["img2"] = torch.from_numpy(
-            np.ascontiguousarray(strong.transpose(0, 3, 1, 2)))
-        return b
+        import_reference_trainers()
+        from dassl.engine.ssl.fixmatch import FixMatch as RefFM
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_two_view(bx_w[k][0], bx_s[k][0], bx_w[k][1]),
-                torch_two_view(bu_w[k][0], bu_s[k][0], bu_w[k][1]),
-            )
-            ref_out.append(out)
-            ref_snap.append(_convert_net(model, N_CLS))
+        model = _ref_simplenet(cfg, N_CLS)
+        init_net = _convert_net(model, N_CLS)
+        shim = _base_shim(RefFM, cfg, model)
+        shim.weight_u = cfg.TRAINER.FIXMATCH.WEIGHT_U
+        shim.conf_thre = cfg.TRAINER.FIXMATCH.CONF_THRE
+
+        def torch_two_view(weak, strong, labels):
+            b = _torch_batch(weak, labels)
+            b["img2"] = torch.from_numpy(
+                np.ascontiguousarray(strong.transpose(0, 3, 1, 2)))
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_two_view(bx_w[k][0], bx_s[k][0], bx_w[k][1]),
+                    torch_two_view(bu_w[k][0], bu_s[k][0], bu_w[k][1]),
+                )
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_u", "y_u_pred_keep")})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "classifier/w"]))
+        return {"net": init_net}, ref_out, ref_snap
+
+    tr = ref_trace("fixmatch", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_net)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_out, our_snap = [], []
@@ -568,13 +722,14 @@ def test_fixmatch_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u", "y_u_pred_keep"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)
 
 
 def test_mcd_trajectory_parity(tmp_path):
