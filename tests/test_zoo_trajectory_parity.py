@@ -745,41 +745,36 @@ def test_mcd_trajectory_parity(tmp_path):
     losses) tracks torch to ~1e-5; before it, the second C iteration read
     a one-epoch-advanced cosine LR and diverged at 7.8e-4/step (the bug
     this test originally misattributed to maxpool gate chaos)."""
-    import torch
-    import torch.nn as nn
-
-    import_reference_trainers()
-    from dassl.engine.da.mcd import MCD as RefMCD
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "MCD"
     cfg.TRAINER.MCD.N_STEP_F = 2
     cfg.freeze()
 
-    def conv_lin(lin):
-        return {"w": lin.weight.detach().numpy().T[_PERM, :].copy(),
-                "b": lin.bias.detach().numpy().copy()}
-
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=21)
     bu_batches = _batches(n_steps, BU, seed=22)
 
-    def run_ref(perturb=0.0):
-        """Drive the real reference MCD; the perturbed replica measures the
-        reference's OWN sensitivity to an init-scale fp difference (the
-        chaos control the loose later-step assertions are calibrated
-        against)."""
+    def build():
+        import torch
+        import torch.nn as nn
+
+        import_reference_trainers()
+        from dassl.engine.da.mcd import MCD as RefMCD
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_lr_scheduler, build_optimizer
+
+        def conv_lin(lin):
+            return {"w": lin.weight.detach().numpy().T[_PERM, :].copy(),
+                    "b": lin.bias.detach().numpy().copy()}
+
         torch.manual_seed(11)
         F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
         C1 = nn.Linear(FDIM, N_CLS).float()
         C2 = nn.Linear(FDIM, N_CLS).float()
-        if perturb:
-            with torch.no_grad():
-                for p in F_net.parameters():
-                    p.add_(perturb)
+        init_F = _convert_net(F_net, 0)
+        init_C1, init_C2 = conv_lin(C1), conv_lin(C2)
+
         shim = RefMCD.__new__(RefMCD)
         TrainerBase.__init__(shim)
         shim.cfg = cfg
@@ -794,7 +789,7 @@ def test_mcd_trajectory_parity(tmp_path):
         shim.max_epoch = N_EPOCHS
         shim.epoch = 0
 
-        out_l, snap_l = [], []
+        ref_out, ref_snap = [], []
         for ep in range(N_EPOCHS):
             shim.epoch = ep
             for bi in range(STEPS_PER_EPOCH):
@@ -803,23 +798,21 @@ def test_mcd_trajectory_parity(tmp_path):
                 out = shim.forward_backward(
                     _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k])
                 )
-                out_l.append(out)
-                snap_l.append({"F": _convert_net(F_net, 0),
-                               "C1": conv_lin(C1), "C2": conv_lin(C2)})
-        return out_l, snap_l, F_net, C1, C2
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_step_A", "loss_step_B", "loss_step_C")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, 0),
+                     "C1": conv_lin(C1), "C2": conv_lin(C2)},
+                    ["F/backbone/conv0/w", "C1/w", "C2/w"]))
+        return ({"F": init_F, "C1": init_C1, "C2": init_C2},
+                ref_out, ref_snap)
 
-    ref_out, ref_snap, F_net, C1, C2 = run_ref()
-    # Re-derive the shared init (fresh seed-11 nets, pre-training).
-    torch.manual_seed(11)
-    F0 = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    C1_0 = nn.Linear(FDIM, N_CLS).float()
-    C2_0 = nn.Linear(FDIM, N_CLS).float()
-    init_F = _convert_net(F0, 0)
-    init_C1, init_C2 = conv_lin(C1_0), conv_lin(C2_0)
+    tr = ref_trace("mcd", build)
+
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "C1", "C2"}
-    ours.params = {"F": _to_jnp(init_F), "C1": _to_jnp(init_C1),
-                   "C2": _to_jnp(init_C2)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "C1": _to_jnp(tr.init("C1")),
+                   "C2": _to_jnp(tr.init("C2"))}
     ours.opt_state = {g: ours._tx_group.get(g, ours.tx).init(ours.params[g])
                       for g in ("F", "C1", "C2")}
 
@@ -843,13 +836,14 @@ def test_mcd_trajectory_parity(tmp_path):
     # phase losses <=1.5e-4 — assert the whole trajectory.
     for k in range(n_steps):
         for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
-        _assert_close(our_snap[k]["C1_w"], ref_snap[k]["C1"]["w"], "C1 W", k)
-        _assert_close(our_snap[k]["C2_w"], ref_snap[k]["C2"]["w"], "C2 W", k)
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
+        _assert_close(our_snap[k]["C1_w"], tr.snap("C1/w", k), "C1 W", k)
+        _assert_close(our_snap[k]["C2_w"], tr.snap("C2/w", k), "C2 W", k)
 
 
 def test_crossgrad_trajectory_parity(tmp_path):
@@ -859,23 +853,10 @@ def test_crossgrad_trajectory_parity(tmp_path):
     and D symmetrically.  Four backward passes per iteration (two through
     the INPUT, two through the weights); both nets' weight trajectories
     must match the reference step-for-step."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.dg.crossgrad import CrossGrad as RefCG
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path)
     cfg.TRAINER.NAME = "CrossGrad"
     cfg.freeze()
     n_domains = len(cfg.DATASET.SOURCE_DOMAINS)
-
-    torch.manual_seed(23)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
-    D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
-    init_F = _convert_net(F_net, N_CLS)
-    init_D = _convert_net(D_net, n_domains)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(31)
@@ -888,42 +869,62 @@ def test_crossgrad_trajectory_parity(tmp_path):
         for _ in range(n_steps)
     ]
 
-    shim = RefCG.__new__(RefCG)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.eps_f = cfg.TRAINER.CROSSGRAD.EPS_F
-    shim.eps_d = cfg.TRAINER.CROSSGRAD.EPS_D
-    shim.alpha_f = cfg.TRAINER.CROSSGRAD.ALPHA_F
-    shim.alpha_d = cfg.TRAINER.CROSSGRAD.ALPHA_D
-    for name, mod in (("F", F_net), ("D", D_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    def build():
+        import torch
 
-    def torch_batch(imgs, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["domain"] = torch.from_numpy(domains)
-        return b
+        import_reference_trainers()
+        from dassl.engine.dg.crossgrad import CrossGrad as RefCG
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_lr_scheduler, build_optimizer
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, N_CLS),
-                             "D": _convert_net(D_net, n_domains)})
+        torch.manual_seed(23)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
+        D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
+        init_F = _convert_net(F_net, N_CLS)
+        init_D = _convert_net(D_net, n_domains)
+
+        shim = RefCG.__new__(RefCG)
+        TrainerBase.__init__(shim)
+        shim.cfg = cfg
+        shim.device = torch.device("cpu")
+        shim.eps_f = cfg.TRAINER.CROSSGRAD.EPS_F
+        shim.eps_d = cfg.TRAINER.CROSSGRAD.EPS_D
+        shim.alpha_f = cfg.TRAINER.CROSSGRAD.ALPHA_F
+        shim.alpha_d = cfg.TRAINER.CROSSGRAD.ALPHA_D
+        for name, mod in (("F", F_net), ("D", D_net)):
+            opt = build_optimizer(mod, cfg.OPTIM)
+            sched = build_lr_scheduler(opt, cfg.OPTIM)
+            setattr(shim, name, mod)
+            shim.register_model(name, mod, opt, sched)
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        def torch_batch(imgs, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+                ref_out.append({k2: out[k2] for k2 in ("loss_f", "loss_d")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, N_CLS),
+                     "D": _convert_net(D_net, n_domains)},
+                    ["F/backbone/conv0/w", "F/classifier/w",
+                     "D/backbone/conv0/w", "D/classifier/w"]))
+        return {"F": init_F, "D": init_D}, ref_out, ref_snap
+
+    tr = ref_trace("crossgrad", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "D"}
-    ours.params = {"F": _to_jnp(init_F), "D": _to_jnp(init_D)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "D": _to_jnp(tr.init("D"))}
     ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "D")}
 
     our_out, our_snap = [], []
@@ -947,54 +948,61 @@ def test_crossgrad_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_f", "loss_d"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["F_conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
         _assert_close(our_snap[k]["F_cls"],
-                      ref_snap[k]["F"]["classifier"]["w"], "F classifier W", k)
+                      tr.snap("F/classifier/w", k), "F classifier W", k)
         _assert_close(our_snap[k]["D_conv0"],
-                      ref_snap[k]["D"]["backbone"]["conv0"]["w"], "D conv0", k)
+                      tr.snap("D/backbone/conv0/w", k), "D conv0", k)
         _assert_close(our_snap[k]["D_cls"],
-                      ref_snap[k]["D"]["classifier"]["w"], "D classifier W", k)
+                      tr.snap("D/classifier/w", k), "D classifier W", k)
 
 
 def test_entmin_trajectory_parity(tmp_path):
     """ssl/entmin.py: CE(x) + LMDA * H(softmax(u)) with the reference's
     +1e-5 log epsilon, single optimizer.  Joint labeled+unlabeled gradient
     through one net; weight trajectory must match step-for-step."""
-    import_reference_trainers()
-    from dassl.engine.ssl.entmin import EntMin as RefEntMin
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "EntMin"
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_params = _convert_net(model, N_CLS)
-
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=41)
     bu_batches = _batches(n_steps, BU, seed=42)
 
-    shim = _base_shim(RefEntMin, cfg, model)
-    shim.lmda = cfg.TRAINER.ENTMIN.LMDA
+    def build():
+        import_reference_trainers()
+        from dassl.engine.ssl.entmin import EntMin as RefEntMin
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append(_convert_net(model, N_CLS))
+        model = _ref_simplenet(cfg, N_CLS)
+        init_params = _convert_net(model, N_CLS)
+        shim = _base_shim(RefEntMin, cfg, model)
+        shim.lmda = cfg.TRAINER.ENTMIN.LMDA
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_u", "acc_x")})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "classifier/w"]))
+        return {"net": init_params}, ref_out, ref_snap
+
+    tr = ref_trace("entmin", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_params)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_out, our_snap = [], []
@@ -1014,13 +1022,14 @@ def test_entmin_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u", "acc_x"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)
 
 
 def test_dael_trajectory_parity(tmp_path):
@@ -1030,13 +1039,6 @@ def test_dael_trajectory_parity(tmp_path):
     joint F+E optimizer step.  Exercises the domain-blocked batch split,
     the (B,K,C) expert einsum vs the reference's per-expert loop, and the
     w_others weighting over the domains present in the batch."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.da.dael import DAEL as RefDAEL, Experts as RefExperts
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{
         "DATASET.TARGET_DOMAINS": ["d2"],
         "DATALOADER.TRAIN_U.SAME_AS_X": False,
@@ -1049,20 +1051,6 @@ def test_dael_trajectory_parity(tmp_path):
     cfg.freeze()
     K = len(cfg.DATASET.SOURCE_DOMAINS)
     split = BX // 2
-
-    torch.manual_seed(29)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    E_net = RefExperts(K, FDIM, N_CLS).float()
-    init_F = _convert_net(F_net, 0)
-
-    def conv_experts(E):
-        sd = {k: v.detach().numpy().copy() for k, v in E.state_dict().items()}
-        return {
-            "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :] for k in range(K)]),
-            "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
-        }
-
-    init_E = conv_experts(E_net)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(43)
@@ -1080,52 +1068,81 @@ def test_dael_trajectory_parity(tmp_path):
             rng.randn(BU, 32, 32, 3).astype(np.float32),
         ))
 
-    shim = RefDAEL.__new__(RefDAEL)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.split_batch = split
-    shim.n_domain = 2
-    shim.weight_u = cfg.TRAINER.DAEL.WEIGHT_U
-    shim.conf_thre = cfg.TRAINER.DAEL.CONF_THRE
-    shim.num_source_domains = K
-    shim.num_classes = N_CLS
-    for name, mod in (("F", F_net), ("E", E_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    def build():
+        import torch
 
-    def torch_x(imgs, imgs2, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["img2"] = torch.from_numpy(
-            np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
-        b["domain"] = torch.from_numpy(domains)
-        return b
+        import_reference_trainers()
+        from dassl.engine.da.dael import DAEL as RefDAEL, Experts as RefExperts
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_lr_scheduler, build_optimizer
 
-    def torch_u(imgs, imgs2):
-        labels = np.zeros(imgs.shape[0], np.int64)
-        return torch_x(imgs, imgs2, labels, labels)
+        torch.manual_seed(29)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        E_net = RefExperts(K, FDIM, N_CLS).float()
+        init_F = _convert_net(F_net, 0)
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_x(*bx_batches[k]), torch_u(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, 0),
-                             "E": conv_experts(E_net)})
+        def conv_experts(E):
+            sd = {k: v.detach().numpy().copy()
+                  for k, v in E.state_dict().items()}
+            return {
+                "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :]
+                               for k in range(K)]),
+                "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
+            }
+
+        init_E = conv_experts(E_net)
+
+        shim = RefDAEL.__new__(RefDAEL)
+        TrainerBase.__init__(shim)
+        shim.cfg = cfg
+        shim.device = torch.device("cpu")
+        shim.split_batch = split
+        shim.n_domain = 2
+        shim.weight_u = cfg.TRAINER.DAEL.WEIGHT_U
+        shim.conf_thre = cfg.TRAINER.DAEL.CONF_THRE
+        shim.num_source_domains = K
+        shim.num_classes = N_CLS
+        for name, mod in (("F", F_net), ("E", E_net)):
+            opt = build_optimizer(mod, cfg.OPTIM)
+            sched = build_lr_scheduler(opt, cfg.OPTIM)
+            setattr(shim, name, mod)
+            shim.register_model(name, mod, opt, sched)
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        def torch_x(imgs, imgs2, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["img2"] = torch.from_numpy(
+                np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        def torch_u(imgs, imgs2):
+            labels = np.zeros(imgs.shape[0], np.int64)
+            return torch_x(imgs, imgs2, labels, labels)
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_x(*bx_batches[k]), torch_u(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_cr", "loss_u", "acc_x")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, 0), "E": conv_experts(E_net)},
+                    ["F/backbone/conv0/w", "E/w", "E/b"]))
+        return {"F": init_F, "E": init_E}, ref_out, ref_snap
+
+    tr = ref_trace("dael", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "E"}
     assert ours.split_batch == split
-    ours.params = {"F": _to_jnp(init_F), "E": _to_jnp(init_E)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "E": _to_jnp(tr.init("E"))}
     ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "E")}
 
     our_out, our_snap = [], []
@@ -1153,13 +1170,14 @@ def test_dael_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_cr", "loss_u", "acc_x"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
-        _assert_close(our_snap[k]["E_w"], ref_snap[k]["E"]["w"], "experts W", k)
-        _assert_close(our_snap[k]["E_b"], ref_snap[k]["E"]["b"], "experts b", k)
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
+        _assert_close(our_snap[k]["E_w"], tr.snap("E/w", k), "experts W", k)
+        _assert_close(our_snap[k]["E_b"], tr.snap("E/b", k), "experts b", k)
 
 
 def test_mme_trajectory_parity(tmp_path):
@@ -1168,63 +1186,70 @@ def test_mme_trajectory_parity(tmp_path):
     then target entropy MAXIMIZED w.r.t. prototypes and MINIMIZED w.r.t.
     features through the gradient-reversal layer.  Feature-net and
     prototype trajectories must match step-for-step."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.da.mme import MME as RefMME, Prototypes
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.modeling.ops import ReverseGrad
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "MME"
     cfg.freeze()
 
-    torch.manual_seed(37)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    C_net = Prototypes(FDIM, N_CLS).float()
-    init_F = _convert_net(F_net, 0)
-
-    def conv_proto(C):
-        return {"w": C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
-
-    init_C = conv_proto(C_net)
-
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=51)
     bu_batches = _batches(n_steps, BU, seed=52)
 
-    shim = RefMME.__new__(RefMME)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.lmda = cfg.TRAINER.MME.LMDA
-    for name, mod in (("F", F_net), ("C", C_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.revgrad = ReverseGrad()
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    def build():
+        import torch
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, 0),
-                             "C": conv_proto(C_net)})
+        import_reference_trainers()
+        from dassl.engine.da.mme import MME as RefMME, Prototypes
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.modeling.ops import ReverseGrad
+        from dassl.optim import build_lr_scheduler, build_optimizer
+
+        torch.manual_seed(37)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        C_net = Prototypes(FDIM, N_CLS).float()
+        init_F = _convert_net(F_net, 0)
+
+        def conv_proto(C):
+            return {"w":
+                    C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
+
+        init_C = conv_proto(C_net)
+
+        shim = RefMME.__new__(RefMME)
+        TrainerBase.__init__(shim)
+        shim.cfg = cfg
+        shim.device = torch.device("cpu")
+        shim.lmda = cfg.TRAINER.MME.LMDA
+        for name, mod in (("F", F_net), ("C", C_net)):
+            opt = build_optimizer(mod, cfg.OPTIM)
+            sched = build_lr_scheduler(opt, cfg.OPTIM)
+            setattr(shim, name, mod)
+            shim.register_model(name, mod, opt, sched)
+        shim.revgrad = ReverseGrad()
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_u", "acc_x")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, 0), "C": conv_proto(C_net)},
+                    ["F/backbone/conv0/w", "C/w"]))
+        return {"F": init_F, "C": init_C}, ref_out, ref_snap
+
+    tr = ref_trace("mme", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"net", "C"}
-    ours.params = {"net": _to_jnp(init_F), "C": _to_jnp(init_C)}
+    ours.params = {"net": _to_jnp(tr.init("F")), "C": _to_jnp(tr.init("C"))}
     ours.opt_state = {g: ours._tx_group.get(g, ours.tx).init(ours.params[g])
                       for g in ("net", "C")}
 
@@ -1245,12 +1270,13 @@ def test_mme_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u", "acc_x"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
-        _assert_close(our_snap[k]["C_w"], ref_snap[k]["C"]["w"],
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
+        _assert_close(our_snap[k]["C_w"], tr.snap("C/w", k),
                       "prototypes W", k)
 
 
