@@ -1288,13 +1288,6 @@ def test_se_trajectory_parity(tmp_path):
     set so the random-init teacher produces a MIXED mask (some rows kept,
     some dropped), exercising the gating, the two-view batch layout, and
     the EMA trajectory step-for-step."""
-    import copy
-
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.da.se import SE as RefSE
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False,
                                 "DATALOADER.K_TRANSFORMS": 2,
@@ -1302,8 +1295,6 @@ def test_se_trajectory_parity(tmp_path):
     cfg.TRAINER.NAME = "SE"
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_net = _convert_net(model, N_CLS)
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(61)
 
@@ -1315,32 +1306,51 @@ def test_se_trajectory_parity(tmp_path):
     bx_batches = [two_view(BX) for _ in range(n_steps)]
     bu_batches = [two_view(BU) for _ in range(n_steps)]
 
-    shim = _base_shim(RefSE, cfg, model)
-    shim.ema_alpha = cfg.TRAINER.SE.EMA_ALPHA
-    shim.conf_thre = cfg.TRAINER.SE.CONF_THRE
-    shim.rampup = cfg.TRAINER.SE.RAMPUP
-    shim.teacher = copy.deepcopy(model)
-    shim.teacher.train()
-    for p in shim.teacher.parameters():
-        p.requires_grad_(False)
+    def build():
+        import copy
 
-    def torch_two_view(v1, v2, labels):
-        b = _torch_batch(v1, labels)
-        b["img"] = [b["img"], torch.from_numpy(
-            np.ascontiguousarray(v2.transpose(0, 3, 1, 2)))]
-        return b
+        import torch
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_two_view(*bx_batches[k]), torch_two_view(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append({"net": _convert_net(model, N_CLS),
-                             "teacher": _convert_net(shim.teacher, N_CLS)})
+        import_reference_trainers()
+        from dassl.engine.da.se import SE as RefSE
+
+        model = _ref_simplenet(cfg, N_CLS)
+        init_net = _convert_net(model, N_CLS)
+        shim = _base_shim(RefSE, cfg, model)
+        shim.ema_alpha = cfg.TRAINER.SE.EMA_ALPHA
+        shim.conf_thre = cfg.TRAINER.SE.CONF_THRE
+        shim.rampup = cfg.TRAINER.SE.RAMPUP
+        shim.teacher = copy.deepcopy(model)
+        shim.teacher.train()
+        for p in shim.teacher.parameters():
+            p.requires_grad_(False)
+
+        def torch_two_view(v1, v2, labels):
+            b = _torch_batch(v1, labels)
+            b["img"] = [b["img"], torch.from_numpy(
+                np.ascontiguousarray(v2.transpose(0, 3, 1, 2)))]
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_two_view(*bx_batches[k]),
+                    torch_two_view(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_u", "acc_x")})
+                ref_snap.append(_subset(
+                    {"net": _convert_net(model, N_CLS),
+                     "teacher": _convert_net(shim.teacher, N_CLS)},
+                    ["net/backbone/conv0/w", "net/classifier/w",
+                     "teacher/backbone/conv0/w", "teacher/classifier/w"]))
+        return {"net": init_net}, ref_out, ref_snap
+
+    tr = ref_trace("se", build)
+    init_net = tr.init("net")
 
     ours = _build_our_trainer(cfg)
     ours.params = {"net": _to_jnp(init_net)}
@@ -1372,22 +1382,23 @@ def test_se_trajectory_parity(tmp_path):
     _drive_ours(ours, stepper, record)
 
     # sanity: the confidence gate is actually mixed at this threshold
-    assert any(ref_out[k]["loss_u"] != 0.0 for k in range(n_steps))
+    assert any(tr.out("loss_u", k) != 0.0 for k in range(n_steps))
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u", "acc_x"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["net"]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("net/backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["net"]["classifier"]["w"], "classifier W", k)
+                      tr.snap("net/classifier/w", k), "classifier W", k)
         _assert_close(our_snap[k]["t_conv0"],
-                      ref_snap[k]["teacher"]["backbone"]["conv0"]["w"],
+                      tr.snap("teacher/backbone/conv0/w", k),
                       "teacher conv0", k)
         _assert_close(our_snap[k]["t_cls_w"],
-                      ref_snap[k]["teacher"]["classifier"]["w"],
+                      tr.snap("teacher/classifier/w", k),
                       "teacher classifier W", k)
 
 
@@ -1409,13 +1420,6 @@ def test_m3sda_trajectory_parity(tmp_path):
     while ours stays within 9e-4 of the unperturbed reference over all 8
     steps — so later steps assert ours tracks at least as tightly as the
     reference tracks its own perturbed twin."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.da.m3sda import M3SDA as RefM3SDA, PairClassifiers
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{
         "DATASET.TARGET_DOMAINS": ["d2"],
         "DATALOADER.TRAIN_U.SAME_AS_X": False,
@@ -1427,23 +1431,6 @@ def test_m3sda_trajectory_parity(tmp_path):
     cfg.freeze()
     K = len(cfg.DATASET.SOURCE_DOMAINS)
     split = BX // 2
-
-    torch.manual_seed(71)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    C_net = torch.nn.ModuleList(
-        [PairClassifiers(FDIM, N_CLS) for _ in range(K)]).float()
-    init_F = _convert_net(F_net, 0)
-
-    def conv_bank(C):
-        sd = {k: v.detach().numpy().copy() for k, v in C.state_dict().items()}
-        return {
-            ci: {"w": np.stack([sd[f"{k}.{ci}.weight"].T[_PERM, :]
-                                for k in range(K)]),
-                 "b": np.stack([sd[f"{k}.{ci}.bias"] for k in range(K)])}
-            for ci in ("c1", "c2")
-        }
-
-    init_C = conv_bank(C_net)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(73)
@@ -1460,75 +1447,97 @@ def test_m3sda_trajectory_parity(tmp_path):
             rng.randint(0, N_CLS, size=BU).astype(np.int64),
         ))
 
-    shim = RefM3SDA.__new__(RefM3SDA)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.split_batch = split
-    shim.n_domain = 2
-    shim.n_step_F = cfg.TRAINER.M3SDA.N_STEP_F
-    shim.lmda = cfg.TRAINER.M3SDA.LMDA
-    shim.num_source_domains = K
-    for name, mod in (("F", F_net), ("C", C_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    LOSS_KEYS = ("loss_step_A", "loss_step_B", "loss_step_C")
 
-    def torch_x(imgs, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["domain"] = torch.from_numpy(domains)
-        return b
+    def build():
+        import torch
 
-    def drive_ref(sh, fnet, cnet):
-        outs, snaps = [], []
-        for ep in range(N_EPOCHS):
-            sh.epoch = ep
-            for bi in range(STEPS_PER_EPOCH):
-                k = ep * STEPS_PER_EPOCH + bi
-                sh.batch_idx = bi
-                outs.append(sh.forward_backward(
-                    torch_x(*bx_batches[k]), _torch_batch(*bu_batches[k])))
-                snaps.append({"F": _convert_net(fnet, 0),
-                              "C": conv_bank(cnet)})
-        return outs, snaps
+        import_reference_trainers()
+        from dassl.engine.da.m3sda import M3SDA as RefM3SDA, PairClassifiers
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_lr_scheduler, build_optimizer
 
-    ref_out, ref_snap = drive_ref(shim, F_net, C_net)
+        def conv_bank(C):
+            sd = {k: v.detach().numpy().copy()
+                  for k, v in C.state_dict().items()}
+            return {
+                ci: {"w": np.stack([sd[f"{k}.{ci}.weight"].T[_PERM, :]
+                                    for k in range(K)]),
+                     "b": np.stack([sd[f"{k}.{ci}.bias"] for k in range(K)])}
+                for ci in ("c1", "c2")
+            }
 
-    # chaos control: the reference vs itself with F perturbed by 3e-6
-    # (our measured post-step-0 weight difference scale)
-    torch.manual_seed(71)
-    Fp = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    Cp = torch.nn.ModuleList(
-        [PairClassifiers(FDIM, N_CLS) for _ in range(K)]).float()
-    with torch.no_grad():
-        for p in Fp.parameters():
-            p.add_(3e-6)
-    shim_p = RefM3SDA.__new__(RefM3SDA)
-    TrainerBase.__init__(shim_p)
-    shim_p.cfg = cfg
-    shim_p.device = torch.device("cpu")
-    shim_p.split_batch = split
-    shim_p.n_domain = 2
-    shim_p.n_step_F = cfg.TRAINER.M3SDA.N_STEP_F
-    shim_p.lmda = cfg.TRAINER.M3SDA.LMDA
-    shim_p.num_source_domains = K
-    for name, mod in (("F", Fp), ("C", Cp)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim_p, name, mod)
-        shim_p.register_model(name, mod, opt, sched)
-    shim_p.num_batches = STEPS_PER_EPOCH
-    shim_p.max_epoch = N_EPOCHS
-    shim_p.epoch = 0
-    refp_out, _ = drive_ref(shim_p, Fp, Cp)
+        def make_shim(fnet, cnet):
+            shim = RefM3SDA.__new__(RefM3SDA)
+            TrainerBase.__init__(shim)
+            shim.cfg = cfg
+            shim.device = torch.device("cpu")
+            shim.split_batch = split
+            shim.n_domain = 2
+            shim.n_step_F = cfg.TRAINER.M3SDA.N_STEP_F
+            shim.lmda = cfg.TRAINER.M3SDA.LMDA
+            shim.num_source_domains = K
+            for name, mod in (("F", fnet), ("C", cnet)):
+                opt = build_optimizer(mod, cfg.OPTIM)
+                sched = build_lr_scheduler(opt, cfg.OPTIM)
+                setattr(shim, name, mod)
+                shim.register_model(name, mod, opt, sched)
+            shim.num_batches = STEPS_PER_EPOCH
+            shim.max_epoch = N_EPOCHS
+            shim.epoch = 0
+            return shim
+
+        def torch_x(imgs, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        def drive_ref(sh, fnet, cnet):
+            outs, snaps = [], []
+            for ep in range(N_EPOCHS):
+                sh.epoch = ep
+                for bi in range(STEPS_PER_EPOCH):
+                    k = ep * STEPS_PER_EPOCH + bi
+                    sh.batch_idx = bi
+                    outs.append(sh.forward_backward(
+                        torch_x(*bx_batches[k]), _torch_batch(*bu_batches[k])))
+                    snaps.append(_subset(
+                        {"F": _convert_net(fnet, 0), "C": conv_bank(cnet)},
+                        ["F/backbone/conv0/w", "C/c1/w", "C/c2/w"]))
+            return outs, snaps
+
+        torch.manual_seed(71)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        C_net = torch.nn.ModuleList(
+            [PairClassifiers(FDIM, N_CLS) for _ in range(K)]).float()
+        init_F = _convert_net(F_net, 0)
+        init_C = conv_bank(C_net)
+        ref_out_raw, ref_snap = drive_ref(
+            make_shim(F_net, C_net), F_net, C_net)
+
+        # chaos control: the reference vs itself with F perturbed by 3e-6
+        # (our measured post-step-0 weight difference scale)
+        torch.manual_seed(71)
+        Fp = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        Cp = torch.nn.ModuleList(
+            [PairClassifiers(FDIM, N_CLS) for _ in range(K)]).float()
+        with torch.no_grad():
+            for p in Fp.parameters():
+                p.add_(3e-6)
+        refp_out, _ = drive_ref(make_shim(Fp, Cp), Fp, Cp)
+
+        ref_out = [
+            {**{key: o[key] for key in LOSS_KEYS},
+             **{f"p_{key}": op[key] for key in LOSS_KEYS}}
+            for o, op in zip(ref_out_raw, refp_out)
+        ]
+        return {"F": init_F, "C": init_C}, ref_out, ref_snap
+
+    tr = ref_trace("m3sda", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "C"}
-    ours.params = {"F": _to_jnp(init_F), "C": _to_jnp(init_C)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "C": _to_jnp(tr.init("C"))}
     ours.opt_state = {g: ours._tx_group.get(g, ours.tx).init(ours.params[g])
                       for g in ("F", "C")}
 
@@ -1553,22 +1562,23 @@ def test_m3sda_trajectory_parity(tmp_path):
 
     # Steps 0-2: tight — proves the 3-phase composition + LR staircase.
     for k in range(3):
-        for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-4 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+        for key in LOSS_KEYS:
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-4 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
-        _assert_close(our_snap[k]["c1_w"], ref_snap[k]["C"]["c1"]["w"],
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
+        _assert_close(our_snap[k]["c1_w"], tr.snap("C/c1/w", k),
                       "bank c1 W", k)
-        _assert_close(our_snap[k]["c2_w"], ref_snap[k]["C"]["c2"]["w"],
+        _assert_close(our_snap[k]["c2_w"], tr.snap("C/c2/w", k),
                       "bank c2 W", k)
     # Steps >= 3: chaotic regime — ours must track the reference at least
     # as well as the reference tracks its own 3e-6-perturbed twin.
-    for key in ("loss_step_A", "loss_step_B", "loss_step_C"):
-        ours_div = max(abs(our_out[k][key] - ref_out[k][key])
+    for key in LOSS_KEYS:
+        ours_div = max(abs(our_out[k][key] - tr.out(key, k))
                        for k in range(3, n_steps))
-        self_div = max(abs(refp_out[k][key] - ref_out[k][key])
+        self_div = max(abs(tr.out(f"p_{key}", k) - tr.out(key, k))
                        for k in range(3, n_steps))
         assert ours_div < 2.0 * max(1e-3, self_div), (
             f"{key}: our divergence {ours_div:.4f} exceeds the reference's "
