@@ -1594,22 +1594,86 @@ def test_adda_trajectory_parity(tmp_path):
     backbone open).  The critic's BN running stats see THREE train-mode
     forwards per iteration (x, detached u, u again for the model loss);
     net, critic, and critic-BN-state trajectories must all track."""
-    import copy
     import pickle
 
-    import torch
-    import torch.nn as nn
+    n_steps = N_EPOCHS * STEPS_PER_EPOCH
+    bx_batches = _batches(n_steps, BX, seed=91)
+    bu_batches = _batches(n_steps, BU, seed=92)
 
-    import_reference_trainers()
-    from dassl.engine.da.adda import ADDA as RefADDA
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.modeling import build_head
-    from dassl.optim import build_lr_scheduler, build_optimizer
+    def build():
+        import copy
 
-    torch.manual_seed(83)
-    cfg_seed = _zoo_cfg(tmp_path)  # only to build the torch net
-    model = RefSimpleNet(cfg_seed, cfg_seed.MODEL, N_CLS).float()
-    init_net = _convert_net(model, N_CLS)
+        import torch
+        import torch.nn as nn
+
+        import_reference_trainers()
+        from dassl.engine.da.adda import ADDA as RefADDA
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.modeling import build_head
+        from dassl.optim import build_lr_scheduler, build_optimizer
+
+        # the shim never reads MODEL.INIT_WEIGHTS (source/model are wired
+        # by hand below) — a plain zoo cfg carries the OPTIM/TRAINER keys
+        ref_cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
+                                        "DATALOADER.TRAIN_U.SAME_AS_X": False})
+        ref_cfg.TRAINER.NAME = "ADDA"
+        ref_cfg.freeze()
+
+        torch.manual_seed(83)
+        model = RefSimpleNet(ref_cfg, ref_cfg.MODEL, N_CLS).float()
+        init_net = _convert_net(model, N_CLS)
+
+        torch.manual_seed(89)
+        critic_body = build_head(
+            "mlp", verbose=False, in_features=FDIM,
+            hidden_layers=[FDIM, FDIM // 2], activation="leaky_relu",
+        )
+        critic = nn.Sequential(critic_body, nn.Linear(FDIM // 2, 1)).float()
+        init_critic, init_critic_state = _convert_critic(critic)
+
+        shim = RefADDA.__new__(RefADDA)
+        TrainerBase.__init__(shim)
+        shim.cfg = ref_cfg
+        shim.device = torch.device("cpu")
+        shim.model = model
+        shim.open_layers = ["backbone"]
+        shim.source_model = copy.deepcopy(model)
+        shim.source_model.eval()
+        for p in shim.source_model.parameters():
+            p.requires_grad_(False)
+        shim.critic = critic
+        shim.bce = nn.BCEWithLogitsLoss()
+        for name, mod in (("model", model), ("critic", critic)):
+            opt = build_optimizer(mod, ref_cfg.OPTIM)
+            sched = build_lr_scheduler(opt, ref_cfg.OPTIM)
+            shim.register_model(name, mod, opt, sched)
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_critic", "loss_model")})
+                cp, cs = _convert_critic(critic)
+                ref_snap.append(_subset(
+                    {"net": _convert_net(model, N_CLS),
+                     "critic": cp, "cstate": cs},
+                    ["net/backbone/conv0/w", "net/classifier/w",
+                     "critic/fc0/w", "critic/out/w", "cstate/bn0/mean"]))
+        return ({"net": init_net, "critic": init_critic,
+                 "cstate": init_critic_state}, ref_out, ref_snap)
+
+    tr = ref_trace("adda", build)
+    init_net = tr.init("net")
+    init_critic = tr.init("critic")
+    init_critic_state = tr.init("cstate")
 
     # source checkpoint = the shared init (reference loads INIT_WEIGHTS
     # into self.model and deepcopies it as the frozen source)
@@ -1622,51 +1686,6 @@ def test_adda_trajectory_parity(tmp_path):
                                 "MODEL.INIT_WEIGHTS": str(ckpt_path)})
     cfg.TRAINER.NAME = "ADDA"
     cfg.freeze()
-
-    torch.manual_seed(89)
-    critic_body = build_head(
-        "mlp", verbose=False, in_features=FDIM,
-        hidden_layers=[FDIM, FDIM // 2], activation="leaky_relu",
-    )
-    critic = nn.Sequential(critic_body, nn.Linear(FDIM // 2, 1)).float()
-    init_critic, init_critic_state = _convert_critic(critic)
-
-    n_steps = N_EPOCHS * STEPS_PER_EPOCH
-    bx_batches = _batches(n_steps, BX, seed=91)
-    bu_batches = _batches(n_steps, BU, seed=92)
-
-    shim = RefADDA.__new__(RefADDA)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.model = model
-    shim.open_layers = ["backbone"]
-    shim.source_model = copy.deepcopy(model)
-    shim.source_model.eval()
-    for p in shim.source_model.parameters():
-        p.requires_grad_(False)
-    shim.critic = critic
-    shim.bce = nn.BCEWithLogitsLoss()
-    for name, mod in (("model", model), ("critic", critic)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
-
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
-            ref_out.append(out)
-            cp, cs = _convert_critic(critic)
-            ref_snap.append({"net": _convert_net(model, N_CLS),
-                             "critic": cp, "cstate": cs})
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"net", "critic"}
@@ -1699,22 +1718,23 @@ def test_adda_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_critic", "loss_model"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["net"]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("net/backbone/conv0/w", k), "conv0", k)
         # classifier stays at the source weights on both sides
         np.testing.assert_array_equal(our_snap[k]["cls_w"],
                                       init_net["classifier"]["w"])
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["net"]["classifier"]["w"], "classifier W", k)
+                      tr.snap("net/classifier/w", k), "classifier W", k)
         _assert_close(our_snap[k]["c_fc0"],
-                      ref_snap[k]["critic"]["fc0"]["w"], "critic fc0 W", k)
+                      tr.snap("critic/fc0/w", k), "critic fc0 W", k)
         _assert_close(our_snap[k]["c_out"],
-                      ref_snap[k]["critic"]["out"]["w"], "critic out W", k)
+                      tr.snap("critic/out/w", k), "critic out W", k)
         _assert_close(our_snap[k]["c_bn0_mean"],
-                      ref_snap[k]["cstate"]["bn0"]["mean"],
+                      tr.snap("cstate/bn0/mean", k),
                       "critic bn0 running mean", k)
 
 
@@ -1739,16 +1759,6 @@ def test_cdac_trajectory_parity(tmp_path):
     conditioned channels (loss_x, pl, cons) tight for the first epoch and
     inside the reference's own measured 2e-5-perturbation envelope after,
     and aac only within the plateau band."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.da.cdac import AAC, CDAC as RefCDAC, Prototypes
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_optimizer
-    from functools import partial
-    from torch.optim.lr_scheduler import LambdaLR
-    from dassl.engine.da.cdac import custom_scheduler
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False,
                                 "DATALOADER.K_TRANSFORMS": 2,
@@ -1757,16 +1767,6 @@ def test_cdac_trajectory_parity(tmp_path):
                                 "TRAINER.CDAC.P_THRESH": 0.5})
     cfg.TRAINER.NAME = "CDAC"
     cfg.freeze()
-
-    torch.manual_seed(101)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    C_net = Prototypes(FDIM, N_CLS).float()
-    init_F = _convert_net(F_net, 0)
-
-    def conv_proto(C):
-        return {"w": C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
-
-    init_C = conv_proto(C_net)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(103)
@@ -1779,84 +1779,120 @@ def test_cdac_trajectory_parity(tmp_path):
     bx_batches = [multi_view(BX) for _ in range(n_steps)]
     bu_batches = [multi_view(BU) for _ in range(n_steps)]
 
-    shim = None  # built below via make_shim
+    OUT_KEYS = ("loss_x", "loss_u", "aac_loss", "pl_loss", "cons_loss",
+                "p_u_pred_keep")
+    ENV_KEYS = ("loss_x", "pl_loss", "cons_loss")
 
-    def torch_views(v0, vs, vs2, labels):
-        b = _torch_batch(v0, labels)
+    def build():
+        import torch
 
-        def t(a):
-            return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+        import_reference_trainers()
+        from dassl.engine.da.cdac import AAC, CDAC as RefCDAC, Prototypes
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_optimizer
+        from functools import partial
+        from torch.optim.lr_scheduler import LambdaLR
+        from dassl.engine.da.cdac import custom_scheduler
 
-        b["img"] = [b["img"], t(v0)]
-        b["img2"] = [t(vs), t(vs2)]
-        return b
+        torch.manual_seed(101)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        C_net = Prototypes(FDIM, N_CLS).float()
+        init_F = _convert_net(F_net, 0)
 
-    def make_shim(fnet, cnet):
-        sh = RefCDAC.__new__(RefCDAC)
-        TrainerBase.__init__(sh)
-        sh.cfg = cfg
-        sh.device = torch.device("cpu")
-        sh.rampup_coef = cfg.TRAINER.CDAC.RAMPUP_COEF
-        sh.rampup_iters = cfg.TRAINER.CDAC.RAMPUP_ITRS
-        sh.lr_multi = cfg.TRAINER.CDAC.CLASS_LR_MULTI
-        sh.topk = cfg.TRAINER.CDAC.TOPK_MATCH
-        sh.p_thresh = cfg.TRAINER.CDAC.P_THRESH
-        sh.aac_criterion = AAC()
-        sh.num_batches = STEPS_PER_EPOCH
-        sh.max_epoch = N_EPOCHS
-        sh.max_iter = N_EPOCHS * STEPS_PER_EPOCH
-        oF = build_optimizer(fnet, cfg.OPTIM)
-        sF = LambdaLR(oF, partial(
-            custom_scheduler, max_iter=sh.max_iter, init_lr=cfg.OPTIM.LR))
-        sh.F = fnet
-        sh.register_model("F", fnet, oF, sF)
-        oC = build_optimizer(cnet, cfg.OPTIM)
-        for gp in oC.param_groups:
-            gp["lr"] *= sh.lr_multi
-        sC = LambdaLR(oC, partial(
-            custom_scheduler, max_iter=sh.max_iter,
-            init_lr=cfg.OPTIM.LR * sh.lr_multi))
-        sh.C = cnet
-        sh.register_model("C", cnet, oC, sC)
-        sh.epoch = 0
-        return sh
+        def conv_proto(C):
+            return {"w":
+                    C.prototypes.weight.detach().numpy().T[_PERM, :].copy()}
 
-    def drive_ref(sh):
-        outs = []
+        init_C = conv_proto(C_net)
+
+        def torch_views(v0, vs, vs2, labels):
+            b = _torch_batch(v0, labels)
+
+            def t(a):
+                return torch.from_numpy(
+                    np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+            b["img"] = [b["img"], t(v0)]
+            b["img2"] = [t(vs), t(vs2)]
+            return b
+
+        def make_shim(fnet, cnet):
+            sh = RefCDAC.__new__(RefCDAC)
+            TrainerBase.__init__(sh)
+            sh.cfg = cfg
+            sh.device = torch.device("cpu")
+            sh.rampup_coef = cfg.TRAINER.CDAC.RAMPUP_COEF
+            sh.rampup_iters = cfg.TRAINER.CDAC.RAMPUP_ITRS
+            sh.lr_multi = cfg.TRAINER.CDAC.CLASS_LR_MULTI
+            sh.topk = cfg.TRAINER.CDAC.TOPK_MATCH
+            sh.p_thresh = cfg.TRAINER.CDAC.P_THRESH
+            sh.aac_criterion = AAC()
+            sh.num_batches = STEPS_PER_EPOCH
+            sh.max_epoch = N_EPOCHS
+            sh.max_iter = N_EPOCHS * STEPS_PER_EPOCH
+            oF = build_optimizer(fnet, cfg.OPTIM)
+            sF = LambdaLR(oF, partial(
+                custom_scheduler, max_iter=sh.max_iter, init_lr=cfg.OPTIM.LR))
+            sh.F = fnet
+            sh.register_model("F", fnet, oF, sF)
+            oC = build_optimizer(cnet, cfg.OPTIM)
+            for gp in oC.param_groups:
+                gp["lr"] *= sh.lr_multi
+            sC = LambdaLR(oC, partial(
+                custom_scheduler, max_iter=sh.max_iter,
+                init_lr=cfg.OPTIM.LR * sh.lr_multi))
+            sh.C = cnet
+            sh.register_model("C", cnet, oC, sC)
+            sh.epoch = 0
+            return sh
+
+        def drive_ref(sh):
+            outs = []
+            for ep in range(N_EPOCHS):
+                sh.epoch = ep
+                for bi in range(STEPS_PER_EPOCH):
+                    sh.batch_idx = bi
+                    k = ep * STEPS_PER_EPOCH + bi
+                    outs.append(sh.forward_backward(
+                        torch_views(*bx_batches[k]),
+                        torch_views(*bu_batches[k])))
+            return outs
+
+        shim = make_shim(F_net, C_net)
+        ref_out_raw, ref_snap = [], []
         for ep in range(N_EPOCHS):
-            sh.epoch = ep
+            shim.epoch = ep
             for bi in range(STEPS_PER_EPOCH):
-                sh.batch_idx = bi
                 k = ep * STEPS_PER_EPOCH + bi
-                outs.append(sh.forward_backward(
-                    torch_views(*bx_batches[k]), torch_views(*bu_batches[k])))
-        return outs
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_views(*bx_batches[k]), torch_views(*bu_batches[k]))
+                ref_out_raw.append(out)
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, 0), "C": conv_proto(C_net)},
+                    ["F/backbone/conv0/w", "C/w"]))
 
-    shim = make_shim(F_net, C_net)
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_views(*bx_batches[k]), torch_views(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, 0),
-                             "C": conv_proto(C_net)})
+        # chaos control: the reference vs a randomly 2e-5-perturbed copy
+        torch.manual_seed(101)
+        Fp = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        Cp = Prototypes(FDIM, N_CLS).float()
+        with torch.no_grad():
+            for p in Fp.parameters():
+                p.add_(torch.randn_like(p) * 2e-5)
+        refp_out = drive_ref(make_shim(Fp, Cp))
 
-    # chaos control: the reference vs a randomly 2e-5-perturbed copy
-    torch.manual_seed(101)
-    Fp = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    Cp = Prototypes(FDIM, N_CLS).float()
-    with torch.no_grad():
-        for p in Fp.parameters():
-            p.add_(torch.randn_like(p) * 2e-5)
-    refp_out = drive_ref(make_shim(Fp, Cp))
+        ref_out = [
+            {**{key: float(o[key]) for key in OUT_KEYS},
+             **{f"p_{key}": float(op[key]) for key in ENV_KEYS}}
+            for o, op in zip(ref_out_raw, refp_out)
+        ]
+        return {"F": init_F, "C": init_C}, ref_out, ref_snap
+
+    tr = ref_trace("cdac", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "C"}
-    ours.params = {"F": _to_jnp(init_F), "C": _to_jnp(init_C)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "C": _to_jnp(tr.init("C"))}
     ours.opt_state = {"F": ours.tx_F.init(ours.params["F"]),
                       "C": ours.tx_C.init(ours.params["C"])}
 
@@ -1884,29 +1920,29 @@ def test_cdac_trajectory_parity(tmp_path):
     _drive_ours(ours, stepper, record)
 
     # the confidence gate must actually be mixed at this threshold
-    keeps = [ref_out[k]["p_u_pred_keep"] for k in range(n_steps)]
-    assert any(0.0 < float(kp) for kp in keeps)
+    assert any(0.0 < tr.out("p_u_pred_keep", k) for k in range(n_steps))
 
     # Weights: tight throughout (measured drift <=2e-5 conv / 2.2e-4
     # prototypes over 8 steps, same scale as the reference's own
     # 2e-5-perturbation drift).
     for k in range(n_steps):
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k,
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k,
                       atol=1e-4)
-        _assert_close(our_snap[k]["C_w"], ref_snap[k]["C"]["w"],
+        _assert_close(our_snap[k]["C_w"], tr.snap("C/w", k),
                       "prototypes W", k, atol=8e-4)
     # Step 0 (shared init): ALL channels tight, incl. aac.
     for key in ("loss_x", "loss_u", "aac_loss", "pl_loss", "cons_loss"):
-        assert abs(our_out[0][key] - ref_out[0][key]) < 1e-4 * (
-            1 + abs(ref_out[0][key])
-        ), f"{key} diverged at step 0: {our_out[0][key]} vs {ref_out[0][key]}"
+        ref_v = tr.out(key, 0)
+        assert abs(our_out[0][key] - ref_v) < 1e-4 * (
+            1 + abs(ref_v)
+        ), f"{key} diverged at step 0: {our_out[0][key]} vs {ref_v}"
     # Well-conditioned channels: within the reference's own measured
     # perturbation envelope (see docstring).
-    for key in ("loss_x", "pl_loss", "cons_loss"):
-        ours_div = max(abs(our_out[k][key] - ref_out[k][key])
+    for key in ENV_KEYS:
+        ours_div = max(abs(our_out[k][key] - tr.out(key, k))
                        for k in range(1, n_steps))
-        self_div = max(abs(float(refp_out[k][key]) - float(ref_out[k][key]))
+        self_div = max(abs(tr.out(f"p_{key}", k) - tr.out(key, k))
                        for k in range(1, n_steps))
         assert ours_div < 3.0 * max(1e-3, self_div), (
             f"{key}: our divergence {ours_div:.5f} exceeds the reference's "
@@ -1914,9 +1950,9 @@ def test_cdac_trajectory_parity(tmp_path):
     # aac: only the saturation-plateau band (one flipped log(1-P) element
     # contributes 5.3/64 ~ 0.08; allow a handful).
     for k in range(1, n_steps):
-        assert abs(our_out[k]["aac_loss"] - ref_out[k]["aac_loss"]) < 0.5, (
+        assert abs(our_out[k]["aac_loss"] - tr.out("aac_loss", k)) < 0.5, (
             f"aac_loss diverged beyond the saturation band at step {k}: "
-            f"{our_out[k]['aac_loss']} vs {ref_out[k]['aac_loss']}")
+            f"{our_out[k]['aac_loss']} vs {tr.out('aac_loss', k)}")
 
 
 def test_ddaig_trajectory_parity(tmp_path):
@@ -1927,47 +1963,12 @@ def test_ddaig_trajectory_parity(tmp_path):
     from the JUST-updated G under no_grad.  Exercises the reflection-pad /
     instance-norm / gctx-fusion FCN generator (ddaig_fcn.py:163-287)
     against the torch original, plus the warmup branch switch at epoch 1."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.dg.ddaig import DDAIG as RefDDAIG
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.modeling import build_network
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{"TRAINER.DDAIG.G_ARCH": "fcn_3x32_gctx",
                                 "TRAINER.DDAIG.WARMUP": 1,
                                 "TRAINER.DDAIG.CLAMP": True})
     cfg.TRAINER.NAME = "DDAIG"
     cfg.freeze()
     n_domains = len(cfg.DATASET.SOURCE_DOMAINS)
-
-    torch.manual_seed(111)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
-    D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
-    G_net = build_network("fcn_3x32_gctx", verbose=False).float()
-    init_F = _convert_net(F_net, N_CLS)
-    init_D = _convert_net(D_net, n_domains)
-
-    def conv_fcn(G, n_blocks=3):
-        """torch FCN (Sequential indices: backbone 1=stem conv, 4+i =
-        ResnetBlock(conv_block 1,5), gctx_fusion.0, regress.0) -> our
-        param dict; instance norm is affine-free so convs are the only
-        weights."""
-        sd = {k: v.detach().numpy().copy() for k, v in G.state_dict().items()}
-
-        def cw(key):
-            return sd[key].transpose(2, 3, 1, 0).copy()
-
-        p = {"stem": {"w": cw("backbone.1.weight")}}
-        for i in range(n_blocks):
-            p[f"res{i}a"] = {"w": cw(f"backbone.{4 + i}.conv_block.1.weight")}
-            p[f"res{i}b"] = {"w": cw(f"backbone.{4 + i}.conv_block.5.weight")}
-        p["fuse"] = {"w": cw("gctx_fusion.0.weight")}
-        p["regress"] = {"w": cw("regress.0.weight"), "b": sd["regress.0.bias"]}
-        return p
-
-    init_G = conv_fcn(G_net)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(113)
@@ -1980,46 +1981,94 @@ def test_ddaig_trajectory_parity(tmp_path):
         for _ in range(n_steps)
     ]
 
-    shim = RefDDAIG.__new__(RefDDAIG)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.lmda = cfg.TRAINER.DDAIG.LMDA
-    shim.clamp = cfg.TRAINER.DDAIG.CLAMP
-    shim.clamp_min = cfg.TRAINER.DDAIG.CLAMP_MIN
-    shim.clamp_max = cfg.TRAINER.DDAIG.CLAMP_MAX
-    shim.warmup = cfg.TRAINER.DDAIG.WARMUP
-    shim.alpha = cfg.TRAINER.DDAIG.ALPHA
-    for name, mod in (("F", F_net), ("D", D_net), ("G", G_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    def build():
+        import torch
 
-    def torch_batch(imgs, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["domain"] = torch.from_numpy(domains)
-        return b
+        import_reference_trainers()
+        from dassl.engine.dg.ddaig import DDAIG as RefDDAIG
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.modeling import build_network
+        from dassl.optim import build_lr_scheduler, build_optimizer
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, N_CLS),
-                             "D": _convert_net(D_net, n_domains),
-                             "G": conv_fcn(G_net)})
+        torch.manual_seed(111)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, N_CLS).float()
+        D_net = RefSimpleNet(cfg, cfg.MODEL, n_domains).float()
+        G_net = build_network("fcn_3x32_gctx", verbose=False).float()
+        init_F = _convert_net(F_net, N_CLS)
+        init_D = _convert_net(D_net, n_domains)
+
+        def conv_fcn(G, n_blocks=3):
+            """torch FCN (Sequential indices: backbone 1=stem conv, 4+i =
+            ResnetBlock(conv_block 1,5), gctx_fusion.0, regress.0) -> our
+            param dict; instance norm is affine-free so convs are the only
+            weights."""
+            sd = {k: v.detach().numpy().copy()
+                  for k, v in G.state_dict().items()}
+
+            def cw(key):
+                return sd[key].transpose(2, 3, 1, 0).copy()
+
+            p = {"stem": {"w": cw("backbone.1.weight")}}
+            for i in range(n_blocks):
+                p[f"res{i}a"] = {
+                    "w": cw(f"backbone.{4 + i}.conv_block.1.weight")}
+                p[f"res{i}b"] = {
+                    "w": cw(f"backbone.{4 + i}.conv_block.5.weight")}
+            p["fuse"] = {"w": cw("gctx_fusion.0.weight")}
+            p["regress"] = {"w": cw("regress.0.weight"),
+                            "b": sd["regress.0.bias"]}
+            return p
+
+        init_G = conv_fcn(G_net)
+
+        shim = RefDDAIG.__new__(RefDDAIG)
+        TrainerBase.__init__(shim)
+        shim.cfg = cfg
+        shim.device = torch.device("cpu")
+        shim.lmda = cfg.TRAINER.DDAIG.LMDA
+        shim.clamp = cfg.TRAINER.DDAIG.CLAMP
+        shim.clamp_min = cfg.TRAINER.DDAIG.CLAMP_MIN
+        shim.clamp_max = cfg.TRAINER.DDAIG.CLAMP_MAX
+        shim.warmup = cfg.TRAINER.DDAIG.WARMUP
+        shim.alpha = cfg.TRAINER.DDAIG.ALPHA
+        for name, mod in (("F", F_net), ("D", D_net), ("G", G_net)):
+            opt = build_optimizer(mod, cfg.OPTIM)
+            sched = build_lr_scheduler(opt, cfg.OPTIM)
+            setattr(shim, name, mod)
+            shim.register_model(name, mod, opt, sched)
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        def torch_batch(imgs, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_g", "loss_f", "loss_d")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, N_CLS),
+                     "D": _convert_net(D_net, n_domains),
+                     "G": conv_fcn(G_net)},
+                    ["F/backbone/conv0/w", "D/backbone/conv0/w",
+                     "G/stem/w", "G/regress/w"]))
+        return ({"F": init_F, "D": init_D, "G": init_G},
+                ref_out, ref_snap)
+
+    tr = ref_trace("ddaig", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "D", "G"}
-    ours.params = {"F": _to_jnp(init_F), "D": _to_jnp(init_D),
-                   "G": _to_jnp(init_G)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "D": _to_jnp(tr.init("D")),
+                   "G": _to_jnp(tr.init("G"))}
     ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "D", "G")}
 
     our_out, our_snap = [], []
@@ -2043,17 +2092,18 @@ def test_ddaig_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_g", "loss_f", "loss_d"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["F_conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
         _assert_close(our_snap[k]["D_conv0"],
-                      ref_snap[k]["D"]["backbone"]["conv0"]["w"], "D conv0", k)
+                      tr.snap("D/backbone/conv0/w", k), "D conv0", k)
         _assert_close(our_snap[k]["G_stem"],
-                      ref_snap[k]["G"]["stem"]["w"], "G stem W", k)
+                      tr.snap("G/stem/w", k), "G stem W", k)
         _assert_close(our_snap[k]["G_regress"],
-                      ref_snap[k]["G"]["regress"]["w"], "G regress W", k)
+                      tr.snap("G/regress/w", k), "G regress W", k)
 
 
 def test_daeldg_trajectory_parity(tmp_path):
@@ -2062,13 +2112,6 @@ def test_daeldg_trajectory_parity(tmp_path):
     each expert's prediction and the mean of the OTHER batch experts on
     the strong view, ONE joint F+E update.  The stacked expert bank must
     track the reference's ModuleList step-for-step."""
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.dg.daeldg import DAELDG as RefDAELDG, Experts as RefExperts
-    from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
-    from dassl.optim import build_lr_scheduler, build_optimizer
-
     cfg = _zoo_cfg(tmp_path, **{
         "DATALOADER.TRAIN_X.SAMPLER": "RandomDomainSampler",
         "DATALOADER.TRAIN_X.N_DOMAIN": 2,
@@ -2078,20 +2121,6 @@ def test_daeldg_trajectory_parity(tmp_path):
     cfg.freeze()
     K = len(cfg.DATASET.SOURCE_DOMAINS)
     split = BX // 2
-
-    torch.manual_seed(121)
-    F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
-    E_net = RefExperts(K, FDIM, N_CLS).float()
-    init_F = _convert_net(F_net, 0)
-
-    def conv_experts(E):
-        sd = {k: v.detach().numpy().copy() for k, v in E.state_dict().items()}
-        return {
-            "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :] for k in range(K)]),
-            "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
-        }
-
-    init_E = conv_experts(E_net)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(123)
@@ -2105,46 +2134,76 @@ def test_daeldg_trajectory_parity(tmp_path):
             np.repeat(doms, split).astype(np.int64),
         ))
 
-    shim = RefDAELDG.__new__(RefDAELDG)
-    TrainerBase.__init__(shim)
-    shim.cfg = cfg
-    shim.device = torch.device("cpu")
-    shim.split_batch = split
-    shim.n_domain = 2
-    shim.conf_thre = cfg.TRAINER.DAELDG.CONF_THRE
-    shim.num_source_domains = K
-    shim.num_classes = N_CLS
-    for name, mod in (("F", F_net), ("E", E_net)):
-        opt = build_optimizer(mod, cfg.OPTIM)
-        sched = build_lr_scheduler(opt, cfg.OPTIM)
-        setattr(shim, name, mod)
-        shim.register_model(name, mod, opt, sched)
-    shim.num_batches = STEPS_PER_EPOCH
-    shim.max_epoch = N_EPOCHS
-    shim.epoch = 0
+    def build():
+        import torch
 
-    def torch_batch(imgs, imgs2, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["img2"] = torch.from_numpy(
-            np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
-        b["domain"] = torch.from_numpy(domains)
-        return b
+        import_reference_trainers()
+        from dassl.engine.dg.daeldg import (
+            DAELDG as RefDAELDG, Experts as RefExperts)
+        from dassl.engine.trainer import SimpleNet as RefSimpleNet, TrainerBase
+        from dassl.optim import build_lr_scheduler, build_optimizer
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
-            ref_out.append(out)
-            ref_snap.append({"F": _convert_net(F_net, 0),
-                             "E": conv_experts(E_net)})
+        torch.manual_seed(121)
+        F_net = RefSimpleNet(cfg, cfg.MODEL, 0).float()
+        E_net = RefExperts(K, FDIM, N_CLS).float()
+        init_F = _convert_net(F_net, 0)
+
+        def conv_experts(E):
+            sd = {k: v.detach().numpy().copy()
+                  for k, v in E.state_dict().items()}
+            return {
+                "w": np.stack([sd[f"linears.{k}.weight"].T[_PERM, :]
+                               for k in range(K)]),
+                "b": np.stack([sd[f"linears.{k}.bias"] for k in range(K)]),
+            }
+
+        init_E = conv_experts(E_net)
+
+        shim = RefDAELDG.__new__(RefDAELDG)
+        TrainerBase.__init__(shim)
+        shim.cfg = cfg
+        shim.device = torch.device("cpu")
+        shim.split_batch = split
+        shim.n_domain = 2
+        shim.conf_thre = cfg.TRAINER.DAELDG.CONF_THRE
+        shim.num_source_domains = K
+        shim.num_classes = N_CLS
+        for name, mod in (("F", F_net), ("E", E_net)):
+            opt = build_optimizer(mod, cfg.OPTIM)
+            sched = build_lr_scheduler(opt, cfg.OPTIM)
+            setattr(shim, name, mod)
+            shim.register_model(name, mod, opt, sched)
+        shim.num_batches = STEPS_PER_EPOCH
+        shim.max_epoch = N_EPOCHS
+        shim.epoch = 0
+
+        def torch_batch(imgs, imgs2, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["img2"] = torch.from_numpy(
+                np.ascontiguousarray(imgs2.transpose(0, 3, 1, 2)))
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+                ref_out.append({k2: out[k2] for k2 in
+                                ("loss_x", "loss_cr", "acc")})
+                ref_snap.append(_subset(
+                    {"F": _convert_net(F_net, 0), "E": conv_experts(E_net)},
+                    ["F/backbone/conv0/w", "E/w", "E/b"]))
+        return {"F": init_F, "E": init_E}, ref_out, ref_snap
+
+    tr = ref_trace("daeldg", build)
 
     ours = _build_our_trainer(cfg)
     assert set(ours.params) == {"F", "E"}
     assert ours.split_batch == split
-    ours.params = {"F": _to_jnp(init_F), "E": _to_jnp(init_E)}
+    ours.params = {"F": _to_jnp(tr.init("F")), "E": _to_jnp(tr.init("E"))}
     ours.opt_state = {g: ours.tx.init(ours.params[g]) for g in ("F", "E")}
 
     our_out, our_snap = [], []
@@ -2168,13 +2227,14 @@ def test_daeldg_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_cr", "acc"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["F"]["backbone"]["conv0"]["w"], "F conv0", k)
-        _assert_close(our_snap[k]["E_w"], ref_snap[k]["E"]["w"], "experts W", k)
-        _assert_close(our_snap[k]["E_b"], ref_snap[k]["E"]["b"], "experts b", k)
+                      tr.snap("F/backbone/conv0/w", k), "F conv0", k)
+        _assert_close(our_snap[k]["E_w"], tr.snap("E/w", k), "experts W", k)
+        _assert_close(our_snap[k]["E_b"], tr.snap("E/b", k), "experts b", k)
 
 
 def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
