@@ -1,5 +1,6 @@
 """N-step training-trajectory parity for the DA/DG/SSL zoo vs the REAL
-Dassl trainers.
+Dassl trainers — live against /root/reference when present, replayed from
+the committed tests/golden_pack/zoo/ traces when not (see ref_trace below).
 
 The CLIP-path trainers have step-for-step trajectory parity in
 test_trajectory_parity.py; this module extends the same program to the
@@ -2247,11 +2248,6 @@ def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
     streams), so the deterministic remainder (pseudo-labels, rampup,
     losses, SGD) must then match step-for-step."""
     import jax
-    import torch
-
-    import_reference_trainers()
-    import dassl.engine.ssl.mixmatch as ref_mod
-    from dassl.engine.ssl.mixmatch import MixMatch as RefMixMatch
 
     K = 2
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
@@ -2261,9 +2257,6 @@ def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
     cfg.TRAINER.MIXMATCH.RAMPUP = 5  # ramps inside the 8-step run
     cfg.freeze()
     beta = cfg.TRAINER.MIXMATCH.MIXUP_BETA
-
-    model = _ref_simplenet(cfg, N_CLS)
-    init_params = _convert_net(model, N_CLS)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(131)
@@ -2287,54 +2280,70 @@ def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
             jax.random.beta(k_mix1, beta, beta, shape=(BX,)), np.float64))
         lam_q.append(np.asarray(
             jax.random.beta(k_mix2, beta, beta, shape=(K * BU,)), np.float64))
-    perm_iter, lam_iter = iter(perm_q), iter(lam_q)
 
-    def patched_shuffle(data, label):
-        idx = torch.from_numpy(np.asarray(next(perm_iter)).copy()).long()
-        return data[idx], label[idx]
+    def build():
+        import torch
 
-    def patched_mixup(x1, x2, y1, y2, b, preserve_order=False):
-        lam = torch.from_numpy(next(lam_iter).copy()).float()
-        lam = lam.reshape(-1, 1, 1, 1)
-        if preserve_order:
-            lam = torch.max(lam, 1 - lam)
-        xmix = x1 * lam + x2 * (1 - lam)
-        lam2 = lam[:, :, 0, 0]
-        ymix = y1 * lam2 + y2 * (1 - lam2)
-        return xmix, ymix
+        import_reference_trainers()
+        import dassl.engine.ssl.mixmatch as ref_mod
+        from dassl.engine.ssl.mixmatch import MixMatch as RefMixMatch
 
-    monkeypatch.setattr(ref_mod, "shuffle_index", patched_shuffle)
-    monkeypatch.setattr(ref_mod, "mixup", patched_mixup)
+        model = _ref_simplenet(cfg, N_CLS)
+        init_params = _convert_net(model, N_CLS)
 
-    shim = _base_shim(RefMixMatch, cfg, model)
-    shim.weight_u = cfg.TRAINER.MIXMATCH.WEIGHT_U
-    shim.temp = cfg.TRAINER.MIXMATCH.TEMP
-    shim.beta = beta
-    shim.rampup = cfg.TRAINER.MIXMATCH.RAMPUP
-    shim.num_classes = N_CLS
+        perm_iter, lam_iter = iter(perm_q), iter(lam_q)
 
-    def torch_batch_views(views, labels=None):
-        imgs = [torch.from_numpy(np.ascontiguousarray(
-            views[:, k].transpose(0, 3, 1, 2))) for k in range(K)]
-        b = {"img": imgs}
-        if labels is not None:
-            b["label"] = torch.from_numpy(labels)
-        return b
+        def patched_shuffle(data, label):
+            idx = torch.from_numpy(np.asarray(next(perm_iter)).copy()).long()
+            return data[idx], label[idx]
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_batch_views(bx_views[k], bx_labels[k]),
-                torch_batch_views(bu_views[k]))
-            ref_out.append(out)
-            ref_snap.append(_convert_net(model, N_CLS))
+        def patched_mixup(x1, x2, y1, y2, b, preserve_order=False):
+            lam = torch.from_numpy(next(lam_iter).copy()).float()
+            lam = lam.reshape(-1, 1, 1, 1)
+            if preserve_order:
+                lam = torch.max(lam, 1 - lam)
+            xmix = x1 * lam + x2 * (1 - lam)
+            lam2 = lam[:, :, 0, 0]
+            ymix = y1 * lam2 + y2 * (1 - lam2)
+            return xmix, ymix
+
+        monkeypatch.setattr(ref_mod, "shuffle_index", patched_shuffle)
+        monkeypatch.setattr(ref_mod, "mixup", patched_mixup)
+
+        shim = _base_shim(RefMixMatch, cfg, model)
+        shim.weight_u = cfg.TRAINER.MIXMATCH.WEIGHT_U
+        shim.temp = cfg.TRAINER.MIXMATCH.TEMP
+        shim.beta = beta
+        shim.rampup = cfg.TRAINER.MIXMATCH.RAMPUP
+        shim.num_classes = N_CLS
+
+        def torch_batch_views(views, labels=None):
+            imgs = [torch.from_numpy(np.ascontiguousarray(
+                views[:, k].transpose(0, 3, 1, 2))) for k in range(K)]
+            b = {"img": imgs}
+            if labels is not None:
+                b["label"] = torch.from_numpy(labels)
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_batch_views(bx_views[k], bx_labels[k]),
+                    torch_batch_views(bu_views[k]))
+                ref_out.append({k2: out[k2] for k2 in ("loss_x", "loss_u")})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "classifier/w"]))
+        return {"net": init_params}, ref_out, ref_snap
+
+    tr = ref_trace("mixmatch", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_params)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_out, our_snap = [], []
@@ -2359,13 +2368,14 @@ def test_mixmatch_trajectory_parity(tmp_path, monkeypatch):
 
     for k in range(n_steps):
         for key in ("loss_x", "loss_u"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)
 
 
 @pytest.mark.parametrize("mix_type", ["crossdomain", "random"])
@@ -2381,18 +2391,11 @@ def test_domainmix_trajectory_parity(tmp_path, mix_type):
     per-row marginals identical, joint differs; documented in PARITY.md.)"""
     import jax
     import jax.numpy as jnp
-    import torch
-
-    import_reference_trainers()
-    from dassl.engine.dg.domain_mix import DomainMix as RefDomainMix
 
     cfg = _zoo_cfg(tmp_path, **{"TRAINER.DOMAINMIX.TYPE": mix_type})
     cfg.TRAINER.NAME = "DomainMix"
     cfg.freeze()
     alpha, beta_p = cfg.TRAINER.DOMAINMIX.ALPHA, cfg.TRAINER.DOMAINMIX.BETA
-
-    model = _ref_simplenet(cfg, N_CLS)
-    init_params = _convert_net(model, N_CLS)
 
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     rng = np.random.RandomState(141)
@@ -2422,38 +2425,52 @@ def test_domainmix_trajectory_parity(tmp_path, mix_type):
             perm = jax.random.permutation(k_perm, BX)
         perm_q.append(np.asarray(perm))
 
-    shim = _base_shim(RefDomainMix, cfg, model)
-    shim.mix_type = mix_type
-    shim.alpha = alpha
-    shim.beta = beta_p
-    draws = iter(zip(lam_q, perm_q))
+    def build():
+        import torch
 
-    def injected_domain_mix(x, target, domain):
-        lam_v, perm_v = next(draws)
-        lam = torch.tensor(lam_v, dtype=torch.float32)
-        perm = torch.from_numpy(perm_v.copy()).long()
-        mixed_x = lam * x + (1 - lam) * x[perm, :]
-        return mixed_x, target, target[perm], lam
+        import_reference_trainers()
+        from dassl.engine.dg.domain_mix import DomainMix as RefDomainMix
 
-    shim.domain_mix = injected_domain_mix
+        model = _ref_simplenet(cfg, N_CLS)
+        init_params = _convert_net(model, N_CLS)
 
-    def torch_batch(imgs, labels, domains):
-        b = _torch_batch(imgs, labels)
-        b["domain"] = torch.from_numpy(domains)
-        return b
+        shim = _base_shim(RefDomainMix, cfg, model)
+        shim.mix_type = mix_type
+        shim.alpha = alpha
+        shim.beta = beta_p
+        draws = iter(zip(lam_q, perm_q))
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
-            ref_out.append(out)
-            ref_snap.append(_convert_net(model, N_CLS))
+        def injected_domain_mix(x, target, domain):
+            lam_v, perm_v = next(draws)
+            lam = torch.tensor(lam_v, dtype=torch.float32)
+            perm = torch.from_numpy(perm_v.copy()).long()
+            mixed_x = lam * x + (1 - lam) * x[perm, :]
+            return mixed_x, target, target[perm], lam
+
+        shim.domain_mix = injected_domain_mix
+
+        def torch_batch(imgs, labels, domains):
+            b = _torch_batch(imgs, labels)
+            b["domain"] = torch.from_numpy(domains)
+            return b
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    torch_batch(*batches[ep * STEPS_PER_EPOCH + bi]))
+                ref_out.append({k2: out[k2] for k2 in ("loss", "acc")})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "classifier/w"]))
+        return {"net": init_params}, ref_out, ref_snap
+
+    tr = ref_trace(f"domainmix_{mix_type}", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_params)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_out, our_snap = [], []
@@ -2475,49 +2492,55 @@ def test_domainmix_trajectory_parity(tmp_path, mix_type):
 
     for k in range(n_steps):
         for key in ("loss", "acc"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)
 
 
 def test_source_only_trajectory_parity(tmp_path):
     """da/source_only.py: CE on the labeled source batch, unlabeled batch
     ignored — the DA control baseline.  Same composition as SupBaseline
     but through the TrainerXU parse path with a distinct metric contract."""
-    import_reference_trainers()
-    from dassl.engine.da.source_only import SourceOnly as RefSourceOnly
-
     cfg = _zoo_cfg(tmp_path, **{"DATASET.TARGET_DOMAINS": ["d2"],
                                 "DATALOADER.TRAIN_U.SAME_AS_X": False})
     cfg.TRAINER.NAME = "SourceOnly"
     cfg.freeze()
 
-    model = _ref_simplenet(cfg, N_CLS)
-    init_params = _convert_net(model, N_CLS)
-
     n_steps = N_EPOCHS * STEPS_PER_EPOCH
     bx_batches = _batches(n_steps, BX, seed=181)
     bu_batches = _batches(n_steps, BU, seed=182)
 
-    shim = _base_shim(RefSourceOnly, cfg, model)
+    def build():
+        import_reference_trainers()
+        from dassl.engine.da.source_only import SourceOnly as RefSourceOnly
 
-    ref_out, ref_snap = [], []
-    for ep in range(N_EPOCHS):
-        shim.epoch = ep
-        for bi in range(STEPS_PER_EPOCH):
-            k = ep * STEPS_PER_EPOCH + bi
-            shim.batch_idx = bi
-            out = shim.forward_backward(
-                _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
-            ref_out.append(out)
-            ref_snap.append(_convert_net(model, N_CLS))
+        model = _ref_simplenet(cfg, N_CLS)
+        init_params = _convert_net(model, N_CLS)
+        shim = _base_shim(RefSourceOnly, cfg, model)
+
+        ref_out, ref_snap = [], []
+        for ep in range(N_EPOCHS):
+            shim.epoch = ep
+            for bi in range(STEPS_PER_EPOCH):
+                k = ep * STEPS_PER_EPOCH + bi
+                shim.batch_idx = bi
+                out = shim.forward_backward(
+                    _torch_batch(*bx_batches[k]), _torch_batch(*bu_batches[k]))
+                ref_out.append({k2: out[k2] for k2 in ("loss", "acc")})
+                ref_snap.append(_subset(
+                    _convert_net(model, N_CLS),
+                    ["backbone/conv0/w", "classifier/w"]))
+        return {"net": init_params}, ref_out, ref_snap
+
+    tr = ref_trace("source_only", build)
 
     ours = _build_our_trainer(cfg)
-    ours.params = {"net": _to_jnp(init_params)}
+    ours.params = {"net": _to_jnp(tr.init("net"))}
     ours.opt_state = ours.tx.init(ours.params)
 
     our_out, our_snap = [], []
@@ -2537,10 +2560,11 @@ def test_source_only_trajectory_parity(tmp_path):
 
     for k in range(n_steps):
         for key in ("loss", "acc"):
-            assert abs(our_out[k][key] - ref_out[k][key]) < 1e-3 * (
-                1 + abs(ref_out[k][key])
-            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_out[k][key]}"
+            ref_v = tr.out(key, k)
+            assert abs(our_out[k][key] - ref_v) < 1e-3 * (
+                1 + abs(ref_v)
+            ), f"{key} diverged at step {k}: {our_out[k][key]} vs {ref_v}"
         _assert_close(our_snap[k]["conv0"],
-                      ref_snap[k]["backbone"]["conv0"]["w"], "conv0", k)
+                      tr.snap("backbone/conv0/w", k), "conv0", k)
         _assert_close(our_snap[k]["cls_w"],
-                      ref_snap[k]["classifier"]["w"], "classifier W", k)
+                      tr.snap("classifier/w", k), "classifier W", k)

@@ -39,6 +39,9 @@ committed artifacts so the proof survives the reference's removal
                          export_openai_state_dict) + dense features/logits
   rn50_full_shape.npz    FULL-SHAPE RN50 @ 224^2 per-stage goldens + the
                          7x7 attention-pooled features, same compression
+  zoo/<trainer>.npz      EVERY zoo trainer's reference trajectory (inits,
+                         per-step metrics, fp16 weight snapshots), staged
+                         by the live parity suite itself (ZOO_PACK_STAGE)
 
 Usage:  python tools/make_golden_pack.py   (writes tests/golden_pack/)
         python tools/make_golden_pack.py full_shape_vit full_shape_rn ...
@@ -711,6 +714,31 @@ def make_full_shape_rn_pack():
           f" + dense pooled features")
 
 
+def make_zoo_trajectory_packs():
+    """Freeze ALL zoo trainers' reference trajectories (inits + per-step
+    metrics + weight snapshots) into tests/golden_pack/zoo/*.npz by
+    running the live parity suite with ZOO_PACK_STAGE set — the tests'
+    own builders ARE the generators (test_zoo_trajectory_parity.ref_trace),
+    so the pack can never drift from what the tests assert."""
+    import subprocess
+
+    stage = os.path.join(OUT_DIR, "zoo")
+    env = dict(os.environ)
+    env["ZOO_PACK_STAGE"] = stage
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         os.path.join(ROOT, "tests", "test_zoo_trajectory_parity.py"),
+         "-q", "-p", "no:cacheprovider"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"zoo trajectory suite failed during staging:\n"
+            f"{proc.stdout[-3000:]}")
+    n = len([f for f in os.listdir(stage) if f.endswith(".npz")])
+    print(f"zoo/: {n} trajectory traces staged via the live suite")
+
+
 MAKERS = {
     "tokenizer": make_tokenizer_pack,
     "text_tower": make_text_tower_pack,
@@ -722,6 +750,7 @@ MAKERS = {
     "dann": make_dann_trajectory_pack,
     "full_shape_vit": make_full_shape_vit_pack,
     "full_shape_rn": make_full_shape_rn_pack,
+    "zoo": make_zoo_trajectory_packs,
 }
 
 
