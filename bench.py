@@ -111,7 +111,12 @@ def main():
 
     from fsvlm_tpu.utils import device_probe, enable_compile_cache
 
-    if not device_probe():
+    # 1200s probe window: round-5 observed a degraded-but-alive tunnel
+    # where a tiny op took 720s — a 600s probe would have reported the
+    # device wedged and produced NO artifact, when a slow honest run was
+    # still possible (degraded sessions read ~5% low, CLAUDE.md)
+    if not device_probe(timeout_s=int(
+            os.environ.get("BENCH_PROBE_TIMEOUT", "1200"))):
         print(
             json.dumps(
                 {
