@@ -60,6 +60,18 @@ def run_point(batch, extra_env, timeout):
     return row
 
 
+def classify_drift(rows, threshold_pct=2.0):
+    """(drift_pct or None, contaminated) from the ref_first/ref_last rows."""
+    first = next((r for r in rows if r.get("tag") == "ref_first"
+                  and r.get("value")), None)
+    last = next((r for r in rows if r.get("tag") == "ref_last"
+                 and r.get("value")), None)
+    if not (first and last):
+        return None, True
+    drift = 100.0 * (last["value"] - first["value"]) / first["value"]
+    return drift, abs(drift) > threshold_pct
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="40,44,48,52,56,60,64")
@@ -88,14 +100,9 @@ def main():
         print(f"[{tag}] bs {b}: {val} img/s "
               f"({row.get('wall_s')}s wall)", flush=True)
 
+    drift_pct, contaminated = classify_drift(rows)
     first = next((r for r in rows if r["tag"] == "ref_first"
                   and r.get("value")), None)
-    last = next((r for r in rows if r["tag"] == "ref_last"
-                 and r.get("value")), None)
-    drift_pct = None
-    if first and last:
-        drift_pct = 100.0 * (last["value"] - first["value"]) / first["value"]
-    contaminated = drift_pct is None or abs(drift_pct) > 2.0
 
     result = {
         "rows": rows,
