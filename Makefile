@@ -1,5 +1,5 @@
 # Developer entry points
-.PHONY: test bench smoke native dryrun accuracy clean
+.PHONY: test bench smoke native dryrun accuracy perf-session clean
 
 test:
 	python -m pytest tests/ -q
@@ -24,6 +24,12 @@ dryrun:
 # goldens -> replay tests -> A/Bs -> reproduce driver
 accuracy:
 	bash tools/run_accuracy_gate.sh
+
+# probe-gated TPU perf re-baseline (aborts in minutes if the tunnel is
+# degraded): batch sweep -> winner-batch lane ceilings -> CoCoOp roofline
+# -> final full-artifact bench (PERF.md, CLAUDE.md probe protocol)
+perf-session:
+	bash tools/run_perf_session.sh
 
 clean:
 	rm -rf output /tmp/fsvlm_smoke
