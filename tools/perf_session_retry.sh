@@ -1,0 +1,49 @@
+#!/bin/bash
+# Hourly-retry wrapper around tools/run_perf_session.sh for erratic-tunnel
+# days (see CLAUDE.md round-5 log: probes 31.5s -> 574.7s within 75 min —
+# recovery is not monotonic, so the session must relaunch itself the moment
+# a probe gates clean).
+#
+# Implements the CLAUDE.md probe protocol exactly: run_perf_session.sh's
+# step 0 IS the probe (self-bounded at 1170s, never killed); on a degraded
+# verdict (exit 2) we back off a full hour before the next attempt, and we
+# stop scheduling new attempts after DEADLINE_UTC (a full session needs
+# ~1-1.5h; starting one too late would collide with the driver's own
+# end-of-round bench).
+#
+# env: PERF_RETRY_DEADLINE  "HH:MM" UTC cutoff for STARTING attempts
+#                           (default 08:00)
+#      PERF_RETRY_SLEEP     backoff seconds between attempts (default 3600)
+set -u
+cd "$(dirname "$0")/.."
+DEADLINE=${PERF_RETRY_DEADLINE:-08:00}
+SLEEP=${PERF_RETRY_SLEEP:-3600}
+ATTEMPT=0
+
+past_deadline() {
+    python - "$DEADLINE" <<'EOF'
+import sys, datetime
+hh, mm = map(int, sys.argv[1].split(":"))
+now = datetime.datetime.now(datetime.timezone.utc)
+sys.exit(0 if (now.hour, now.minute) >= (hh, mm) else 1)
+EOF
+}
+
+while true; do
+    if past_deadline; then
+        echo "[retry] $(date -u +%H:%M) past deadline $DEADLINE UTC — giving up"
+        exit 3
+    fi
+    ATTEMPT=$((ATTEMPT + 1))
+    echo "[retry] $(date -u +%H:%M) attempt $ATTEMPT"
+    bash tools/run_perf_session.sh
+    RC=$?
+    echo "[retry] attempt $ATTEMPT exit=$RC"
+    if [ "$RC" != 2 ]; then
+        # 0 = complete, 1 = session ran but a step failed (artifacts kept,
+        # do NOT burn more TPU time re-running automatically)
+        exit "$RC"
+    fi
+    echo "[retry] degraded — sleeping ${SLEEP}s"
+    sleep "$SLEEP"
+done
