@@ -14,10 +14,14 @@
 # env: PERF_RETRY_DEADLINE  "HH:MM" UTC cutoff for STARTING attempts
 #                           (default 08:00)
 #      PERF_RETRY_SLEEP     backoff seconds between attempts (default 3600)
+#      PERF_RETRY_CMD       the gated session command (default
+#                           "bash tools/run_perf_session.sh"; CI stubs it
+#                           in tests/test_perf_session.py)
 set -u
 cd "$(dirname "$0")/.."
 DEADLINE=${PERF_RETRY_DEADLINE:-08:00}
 SLEEP=${PERF_RETRY_SLEEP:-3600}
+CMD=${PERF_RETRY_CMD:-bash tools/run_perf_session.sh}
 ATTEMPT=0
 
 past_deadline() {
@@ -36,7 +40,7 @@ while true; do
     fi
     ATTEMPT=$((ATTEMPT + 1))
     echo "[retry] $(date -u +%H:%M) attempt $ATTEMPT"
-    bash tools/run_perf_session.sh
+    $CMD
     RC=$?
     echo "[retry] attempt $ATTEMPT exit=$RC"
     if [ "$RC" != 2 ]; then
